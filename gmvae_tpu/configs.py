@@ -1,0 +1,162 @@
+"""Frozen dataclass configs — one named constructor per BASELINE config.
+
+BASELINE.json:7-11 fixes five configs; SURVEY.md §5.6 fixes the mechanism
+(plain frozen dataclasses, ``--set key=value`` CLI overrides, no external
+config framework).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    # identity
+    name: str = 'mnist_k10'
+    dataset: str = 'mnist'            # mnist|fmnist|svhn|cifar10|celeba|synthetic
+    image_shape: Tuple[int, int, int] = (28, 28, 1)
+
+    # model
+    arch: str = 'mlp'                 # mlp|conv|resnet
+    enc_hidden: Tuple[int, ...] = (512, 512)   # widths (mlp) / features (conv)
+    dec_hidden: Tuple[int, ...] = (512, 512)
+    latent_dim: int = 10
+    n_components: int = 10            # K mixture components
+    likelihood: str = 'bernoulli'     # bernoulli|gaussian
+
+    # objective
+    elbo_form: str = 'mixture'        # mixture|structured (ops/elbo.py)
+    hard_gumbel: bool = False
+    tau0: float = 1.0
+    tau_min: float = 0.5
+    tau_anneal: float = 3e-5
+    kl_warmup_steps: int = 0          # linear beta warmup; 0 disables
+
+    # data
+    binarize: bool = True             # dynamic binarization per step [B:5,8]
+    batch_size: int = 128
+
+    # optimization
+    lr: float = 1e-3
+    steps: int = 20_000
+    eval_every: int = 2_000
+    seed: int = 0
+
+    # performance
+    compute_dtype: str = 'float32'    # float32|bfloat16 (MXU matmul dtype)
+    fused: bool = True                # Pallas fused ELBO head on TPU
+    scan_steps: int = 1               # micro-steps per jitted outer step
+
+    # parallelism: 1-D data mesh; -1 = all local devices. Slice-ready up to
+    # v5e-16 (SURVEY.md §2.2): multi-host uses jax.distributed + process-
+    # sharded data, same mesh code.
+    dp_devices: int = -1
+
+    # io
+    run_dir: str = 'runs'
+    ckpt_every: int = 5_000
+
+    def replace(self, **kw) -> 'Config':
+        return dataclasses.replace(self, **kw)
+
+
+def mnist_k10(**kw) -> Config:
+    """MNIST GMVAE: K=10, 2-layer MLP enc/dec, latent 10, batch 128
+    (BASELINE.json:7; CPU-runnable)."""
+    return Config(name='mnist_k10', dataset='mnist').replace(**kw)
+
+
+def fmnist_deep(**kw) -> Config:
+    """Fashion-MNIST GMVAE: K=10, deeper MLP, latent 64, dynamic binarization
+    (BASELINE.json:8)."""
+    return Config(
+        name='fmnist_deep', dataset='fmnist',
+        enc_hidden=(1024, 512, 256), dec_hidden=(256, 512, 1024),
+        latent_dim=64,
+    ).replace(**kw)
+
+
+def svhn_conv(**kw) -> Config:
+    """SVHN conv-GMVAE: conv encoder/decoder, K=10, latent 128
+    (BASELINE.json:9)."""
+    return Config(
+        name='svhn_conv', dataset='svhn', image_shape=(32, 32, 3),
+        arch='conv', enc_hidden=(64, 128, 256), dec_hidden=(256, 128, 64),
+        latent_dim=128, likelihood='gaussian', binarize=False,
+    ).replace(**kw)
+
+
+def cifar_k20(**kw) -> Config:
+    """CIFAR-10 conv-GMVAE: K=20 components, ResNet-style enc/dec
+    (BASELINE.json:10)."""
+    return Config(
+        name='cifar_k20', dataset='cifar10', image_shape=(32, 32, 3),
+        arch='resnet', enc_hidden=(64, 128, 256), dec_hidden=(256, 128, 64),
+        latent_dim=128, n_components=20, likelihood='gaussian', binarize=False,
+    ).replace(**kw)
+
+
+def celeba_dp16(**kw) -> Config:
+    """CelebA 64x64 large-K mixture VAE, data-parallel across a v5e-16 pod
+    slice (BASELINE.json:11). ``dp_devices=-1`` shards over whatever mesh is
+    present; batch is the GLOBAL batch."""
+    return Config(
+        name='celeba_dp16', dataset='celeba', image_shape=(64, 64, 3),
+        arch='conv', enc_hidden=(64, 128, 256, 512),
+        dec_hidden=(512, 256, 128, 64),
+        latent_dim=256, n_components=64, likelihood='gaussian', binarize=False,
+        batch_size=1024, compute_dtype='bfloat16',
+    ).replace(**kw)
+
+
+def synthetic_tiny(**kw) -> Config:
+    """Tiny planted-cluster config for tests/CI (SURVEY.md §4.2): 8x8 images,
+    2 clusters, small MLP. Deterministic, no downloads."""
+    return Config(
+        name='synthetic_tiny', dataset='synthetic', image_shape=(8, 8, 1),
+        enc_hidden=(64, 64), dec_hidden=(64, 64),
+        latent_dim=4, n_components=2, batch_size=64,
+        steps=300, eval_every=100, tau_anneal=1e-3, fused=False,
+    ).replace(**kw)
+
+
+CONFIGS = {
+    'mnist_k10': mnist_k10,
+    'fmnist_deep': fmnist_deep,
+    'svhn_conv': svhn_conv,
+    'cifar_k20': cifar_k20,
+    'celeba_dp16': celeba_dp16,
+    'synthetic_tiny': synthetic_tiny,
+}
+
+
+def get_config(name: str, **kw) -> Config:
+    if name not in CONFIGS:
+        raise KeyError(f'unknown config {name!r}; have {sorted(CONFIGS)}')
+    return CONFIGS[name](**kw)
+
+
+def parse_overrides(pairs) -> dict:
+    """Parse ``key=value`` CLI overrides with dataclass-field-typed coercion."""
+    fields = {f.name: f for f in dataclasses.fields(Config)}
+    out = {}
+    for pair in pairs or []:
+        key, _, raw = pair.partition('=')
+        if key not in fields:
+            raise KeyError(f'unknown config field {key!r}')
+        tp = fields[key].type
+        default = getattr(Config(), key)
+        if isinstance(default, bool):
+            out[key] = raw.lower() in ('1', 'true', 'yes')
+        elif isinstance(default, int):
+            out[key] = int(raw)
+        elif isinstance(default, float):
+            out[key] = float(raw)
+        elif isinstance(default, tuple):
+            out[key] = tuple(int(v) for v in raw.strip('()').split(',') if v)
+        else:
+            out[key] = raw
+        del tp
+    return out

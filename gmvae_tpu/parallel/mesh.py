@@ -1,0 +1,88 @@
+"""Device mesh + sharding helpers: the framework's entire comm backend.
+
+TPU-native stance (SURVEY.md §2.2, §5.8): the equivalent of the NCCL/MPI
+layer a GPU framework would hand-roll is XLA's collective lowering — our job
+is a mesh and sharding annotations. DP is the one required strategy (per-chip
+batch shard, ``psum`` grad all-reduce over ICI); the mesh is kept 2-D-capable
+(``('data', 'model')``) so tensor parallelism is additive later, with the
+model axis sized 1 for every BASELINE config.
+
+Multi-host pod slices (v5e-16 = 4 hosts x 4 chips, BASELINE.json:11):
+``init_distributed()`` calls ``jax.distributed.initialize()`` when a pod
+environment is detected; data loading shards by ``jax.process_index()``.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = 'data'
+MODEL_AXIS = 'model'
+
+
+def init_distributed() -> None:
+    """Initialize the multi-host runtime when running on a pod slice.
+
+    No-op on single-host (the common case here). Gated on the coordinator
+    env var so single-chip/CI runs never touch the distributed stack.
+    """
+    if os.environ.get('JAX_COORDINATOR_ADDRESS') and jax.process_count() == 1:
+        jax.distributed.initialize()
+
+
+def make_mesh(dp_devices: int = -1, model_devices: int = 1,
+              devices: Optional[list] = None) -> Mesh:
+    """1-D data mesh (optionally 2-D with a model axis for future TP).
+
+    ``dp_devices=-1`` uses every visible device. Device order follows
+    ``jax.devices()``, which on TPU enumerates chips in ICI-neighbor order —
+    the ``psum`` ring rides ICI, not DCN.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    if dp_devices in (-1, 0):
+        dp_devices = len(devices) // model_devices
+    n = dp_devices * model_devices
+    if n > len(devices):
+        raise ValueError(
+            f'mesh wants {n} devices, only {len(devices)} visible')
+    arr = np.array(devices[:n]).reshape(dp_devices, model_devices)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis batch shard over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_spec() -> P:
+    return P(DATA_AXIS)
+
+
+def replicated_spec() -> P:
+    return P()
+
+
+def shard_batch(mesh: Mesh, tree):
+    """Place a host batch onto the mesh, sharded on the leading axis."""
+    return jax.device_put(tree, batch_sharding(mesh))
+
+
+def replicate(mesh: Mesh, tree):
+    """Replicate a pytree (params, opt state) across the mesh."""
+    return jax.device_put(tree, replicated(mesh))
+
+
+def process_shard(n: int) -> slice:
+    """This host's contiguous shard of ``n`` examples for multi-host input
+    pipelines (SURVEY.md §5.8): process ``i`` of ``p`` owns ``[i*n//p, (i+1)*n//p)``."""
+    i, p = jax.process_index(), jax.process_count()
+    return slice(i * n // p, (i + 1) * n // p)

@@ -1,0 +1,52 @@
+"""Checkpoint/resume: atomic msgpack snapshots of the full training state.
+
+SURVEY.md §5.3-5.4: steps are deterministic given ``(params, seed, step)``,
+so failure recovery == restart from the last snapshot. Snapshots are written
+write-tmp-then-rename for atomicity; multi-host pods write from process 0
+only and restore everywhere.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict
+
+import jax
+import numpy as np
+from flax import serialization
+
+
+def _to_host(tree):
+    return jax.tree.map(lambda a: np.asarray(a), tree)
+
+
+def save_ckpt(path: str, state_tree: Dict[str, Any]) -> None:
+    """Atomically serialize a pytree snapshot to ``path`` (process 0 only)."""
+    if jax.process_index() != 0:
+        return
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    payload = serialization.msgpack_serialize(_to_host(state_tree))
+    tmp = path + '.tmp'
+    with open(tmp, 'wb') as f:
+        f.write(payload)
+    os.replace(tmp, path)  # atomic on POSIX
+
+
+def restore_ckpt(path: str, like: Dict[str, Any]) -> Dict[str, Any]:
+    """Restore a snapshot into the structure of ``like`` (shape/dtype donor)."""
+    with open(path, 'rb') as f:
+        payload = f.read()
+    return serialization.from_bytes(_to_host(like),
+                                    payload)
+
+
+def latest_ckpt(run_dir: str) -> str | None:
+    """Newest ``ckpt_*.msgpack`` in a run directory, or None."""
+    if not os.path.isdir(run_dir):
+        return None
+    cands = [f for f in os.listdir(run_dir)
+             if f.startswith('ckpt_') and f.endswith('.msgpack')]
+    if not cands:
+        return None
+    cands.sort(key=lambda f: int(f.split('_')[1].split('.')[0]))
+    return os.path.join(run_dir, cands[-1])
