@@ -1,0 +1,20 @@
+"""gmvae_tpu: TPU-native deep mixture-of-Gaussians VAE framework.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of
+``ffs97/deep-mixture-vae`` (see /root/repo/SURVEY.md; the binding spec is
+/root/repo/BASELINE.json — the reference mount is empty, SURVEY.md §0).
+
+Public API (BASELINE.json:5): ``train``, ``eval_elbo``, ``sample``,
+``reconstruct``, ``cluster_assign``.
+"""
+
+from gmvae_tpu.api import (cluster_assign, cluster_metrics, eval_elbo,
+                           reconstruct, sample, train)
+from gmvae_tpu.configs import CONFIGS, Config, get_config
+
+__version__ = '0.1.0'
+
+__all__ = [
+    'train', 'eval_elbo', 'sample', 'reconstruct', 'cluster_assign',
+    'cluster_metrics', 'Config', 'CONFIGS', 'get_config', '__version__',
+]

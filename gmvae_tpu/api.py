@@ -1,0 +1,116 @@
+"""Public API: the four verbs the reference exposes (BASELINE.json:5).
+
+``train``, ``eval_elbo``, ``sample``/``reconstruct``, ``cluster_assign`` —
+stable functions re-exported at the package root (SURVEY.md §1.2 layer 6).
+All verbs are deterministic given (params, seed) and run as single jitted
+XLA programs on device; only ``train`` involves collectives.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gmvae_tpu import data as data_lib
+from gmvae_tpu import training as train_lib
+from gmvae_tpu.configs import Config, get_config
+from gmvae_tpu.models.gmvae import GMVAE
+from gmvae_tpu.utils import metrics as metrics_lib
+
+
+def train(cfg: Config | str, dataset=None, resume: bool = False,
+          save_grids: bool = False, **overrides):
+    """Train a GMVAE config to completion.
+
+    Args:
+      cfg: a ``Config`` or a named BASELINE config ('mnist_k10', ...).
+      dataset: optional pre-loaded ``data.Dataset`` (tests pass synthetic).
+      resume: restore from the latest checkpoint in the run dir.
+    Returns:
+      (trainer, state, history) — trainer owns the mesh + jitted fns, state
+      holds params/opt-state/step, history is the list of eval rows.
+    """
+    if isinstance(cfg, str):
+        cfg = get_config(cfg, **overrides)
+    elif overrides:
+        cfg = cfg.replace(**overrides)
+    return train_lib.fit(cfg, dataset=dataset, resume=resume,
+                         save_grids=save_grids)
+
+
+def eval_elbo(trainer: train_lib.Trainer, state: train_lib.TrainState,
+              dataset=None, max_examples: Optional[int] = None
+              ) -> Dict[str, float]:
+    """Test-set ELBO in nats (+ ACC/NMI when labels exist) — SURVEY.md §3.2.
+
+    Reuses the identical ELBO code path as training, so reported nats are
+    the trained objective.
+    """
+    if dataset is not None:
+        return train_lib.evaluate(trainer.eval_step, trainer.cfg,
+                                  state.params, dataset.test_x,
+                                  dataset.test_y, int(state.step))
+    return trainer.evaluate(state, max_examples=max_examples)
+
+
+def sample(trainer: train_lib.Trainer, state: train_lib.TrainState,
+           n: int, seed: int = 0,
+           component: Optional[int] = None) -> np.ndarray:
+    """Generative sampling: k ~ Cat(pi) (or fixed), z ~ N_k, decode
+    (SURVEY.md §3.3). Returns [n, H, W, C] float images in likelihood-mean
+    space."""
+    model = trainer.model
+
+    @functools.partial(jax.jit, static_argnums=(2, 3))
+    def go(params, key, n, component):
+        return model.apply({'params': params}, key, n, component,
+                           method=model.sample)
+
+    out = go(state.params, jax.random.PRNGKey(seed), n, component)
+    return np.asarray(out)
+
+
+def reconstruct(trainer: train_lib.Trainer, state: train_lib.TrainState,
+                x: np.ndarray) -> np.ndarray:
+    """Encode -> posterior-mean latent -> decode (SURVEY.md §3.3).
+
+    ``x`` is uint8 [N,H,W,C] (raw) or float in [0,1]; returns float images.
+    """
+    model = trainer.model
+
+    @jax.jit
+    def go(params, xb):
+        return model.apply({'params': params}, xb, method=model.reconstruct)
+
+    x = np.asarray(x)
+    xf = x.astype(np.float32) / 255.0 if x.dtype == np.uint8 else x
+    return np.asarray(go(state.params, jnp.asarray(xf)))
+
+
+def cluster_assign(trainer: train_lib.Trainer, state: train_lib.TrainState,
+                   x: np.ndarray, batch_size: int = 1024) -> np.ndarray:
+    """argmax_k q(k|x) cluster ids for a batch of images (SURVEY.md §3.4)."""
+    model = trainer.model
+
+    @jax.jit
+    def go(params, xb):
+        return jnp.argmax(
+            model.apply({'params': params}, xb, method=model.cluster_logits),
+            axis=-1)
+
+    x = np.asarray(x)
+    xf = x.astype(np.float32) / 255.0 if x.dtype == np.uint8 else x
+    outs = [np.asarray(go(state.params, jnp.asarray(xf[i:i + batch_size])))
+            for i in range(0, xf.shape[0], batch_size)]
+    return np.concatenate(outs) if outs else np.zeros((0,), np.int32)
+
+
+def cluster_metrics(labels_true: np.ndarray,
+                    labels_pred: np.ndarray) -> Dict[str, float]:
+    """Hungarian-matched ACC + NMI on host (SURVEY.md §3.4)."""
+    return {'acc': metrics_lib.cluster_acc(labels_true, labels_pred),
+            'nmi': metrics_lib.nmi(labels_true, labels_pred)}

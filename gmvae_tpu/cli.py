@@ -1,0 +1,108 @@
+"""CLI: ``python -m gmvae_tpu <verb> --config NAME [--set key=value ...]``.
+
+Reference shape (SURVEY.md §1.1): argparse flags selecting dataset/model/
+K/latent/epochs; here flags select a named BASELINE config plus typed
+``--set`` overrides (SURVEY.md §5.6).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog='gmvae_tpu',
+                                description='TPU-native deep mixture VAE')
+    sub = p.add_subparsers(dest='verb', required=True)
+
+    def common(sp):
+        sp.add_argument('--config', default='mnist_k10',
+                        help='named config (see configs.CONFIGS)')
+        sp.add_argument('--set', action='append', default=[], metavar='K=V',
+                        help='override a config field, e.g. --set steps=1000')
+        sp.add_argument('--debug', action='store_true',
+                        help='enable jax_debug_nans (SURVEY.md §5.2)')
+        sp.add_argument('--profile', default=None, metavar='LOGDIR',
+                        help='jax.profiler trace around the run (§5.1)')
+
+    t = sub.add_parser('train', help='train a config')
+    common(t)
+    t.add_argument('--resume', action='store_true')
+    t.add_argument('--grids', action='store_true',
+                   help='save sample/reconstruction PNG grids per eval')
+
+    e = sub.add_parser('eval', help='eval ELBO + clustering from checkpoint')
+    common(e)
+
+    s = sub.add_parser('sample', help='generate a sample grid from checkpoint')
+    common(s)
+    s.add_argument('--n', type=int, default=64)
+    s.add_argument('--component', type=int, default=None)
+    s.add_argument('--out', default=None)
+
+    b = sub.add_parser('bench', help='training throughput benchmark')
+    common(b)
+    b.add_argument('--steps', type=int, default=2000)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    # import after arg parsing so --help is instant
+    import jax
+    from gmvae_tpu import api, configs, training as train_lib
+    from gmvae_tpu.utils import checkpoint as ckpt_lib
+
+    if args.debug:
+        jax.config.update('jax_debug_nans', True)
+
+    cfg = configs.get_config(args.config, **configs.parse_overrides(args.set))
+
+    profile_cm = None
+    if args.profile:
+        profile_cm = jax.profiler.trace(args.profile)
+        profile_cm.__enter__()
+
+    try:
+        if args.verb == 'train':
+            _, state, history = api.train(cfg, resume=args.resume,
+                                          save_grids=args.grids)
+            if history:
+                print(json.dumps(history[-1]))
+        elif args.verb in ('eval', 'sample'):
+            trainer = train_lib.Trainer(cfg)
+            state = trainer.init_state()
+            run_dir = os.path.join(cfg.run_dir, cfg.name)
+            path = ckpt_lib.latest_ckpt(run_dir)
+            if path:
+                tree = ckpt_lib.restore_ckpt(path,
+                                             trainer.state_to_tree(state))
+                state = trainer.tree_to_state(tree)
+                print(f'[gmvae] restored {path}', file=sys.stderr)
+            else:
+                print('[gmvae] WARNING: no checkpoint found; using init '
+                      'params', file=sys.stderr)
+            if args.verb == 'eval':
+                print(json.dumps(api.eval_elbo(trainer, state)))
+            else:
+                from gmvae_tpu.utils.logging import save_image_grid
+                imgs = api.sample(trainer, state, args.n,
+                                  component=args.component)
+                out = args.out or os.path.join(run_dir, 'samples_cli.png')
+                save_image_grid(out, imgs)
+                print(out)
+        elif args.verb == 'bench':
+            from bench import run_bench  # repo-root harness
+            print(json.dumps(run_bench(cfg, steps=args.steps)))
+    finally:
+        if profile_cm is not None:
+            profile_cm.__exit__(None, None, None)
+    return 0
+
+
+if __name__ == '__main__':
+    raise SystemExit(main())

@@ -26,9 +26,12 @@ class Config:
     n_components: int = 10            # K mixture components
     likelihood: str = 'bernoulli'     # bernoulli|gaussian
 
-    # objective
+    # objective. NOTE: the 'mixture' form requires hard (straight-through)
+    # component selection — with soft weights z interpolates between
+    # components and -log q(z|x) under the hard mixture diverges. The
+    # 'structured' (Concrete-GMVAE) form is the soft-relaxation objective.
     elbo_form: str = 'mixture'        # mixture|structured (ops/elbo.py)
-    hard_gumbel: bool = False
+    hard_gumbel: bool = True
     tau0: float = 1.0
     tau_min: float = 0.5
     tau_anneal: float = 3e-5

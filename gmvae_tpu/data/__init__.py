@@ -14,10 +14,10 @@ hard-requires a download (SURVEY.md §7.1).
 """
 
 from gmvae_tpu.data.loaders import Dataset, load, make_synthetic
-from gmvae_tpu.data.preprocess import (epoch_batch_indices, normalize_image,
-                                       preprocess_batch)
+from gmvae_tpu.data.preprocess import (dynamic_binarize, epoch_batch_indices,
+                                       normalize_image, preprocess_batch)
 
 __all__ = [
-    'Dataset', 'load', 'make_synthetic',
-    'preprocess_batch', 'normalize_image', 'epoch_batch_indices',
+    'Dataset', 'load', 'make_synthetic', 'preprocess_batch',
+    'dynamic_binarize', 'normalize_image', 'epoch_batch_indices',
 ]

@@ -137,7 +137,8 @@ def gumbel_softmax(key: jax.Array, logits: jax.Array, tau: jax.Array,
         y_hard = jax.nn.one_hot(jnp.argmax(y, axis=-1), logits.shape[-1],
                                 dtype=y.dtype)
         # Straight-through: hard one-hot forward, relaxed gradient backward.
-        y = y_hard + y - jax.lax.stop_gradient(y)
+        # Parenthesized so the value is exactly one-hot (no reassociation).
+        y = y_hard + (y - jax.lax.stop_gradient(y))
     return y
 
 

@@ -59,6 +59,64 @@ class HeadOutputs(NamedTuple):
     kl_cat: jax.Array          # [B]  KL(q(k|x) || Cat(pi))
 
 
+def head_from_noise(g: jax.Array,
+                    eps: jax.Array,
+                    k_logits: jax.Array,
+                    q_means: jax.Array,
+                    q_logvars: jax.Array,
+                    prior: MixturePrior,
+                    tau: jax.Array,
+                    hard: bool = False) -> HeadOutputs:
+    """Deterministic core of the mixture-ELBO head, noise passed in.
+
+    This is THE definition of the head's math: ``mixture_elbo_head`` draws
+    ``(g, eps)`` with threefry and delegates here, and the fused Pallas
+    kernel's backward pass replays the identical function with the noise the
+    kernel emitted as residuals — so kernel and golden path share one
+    formula.
+
+    Args:
+      g:    [B, K] standard Gumbel(0,1) noise for the categorical relaxation.
+      eps:  [B, D] standard normal noise for the Gaussian reparameterization.
+      (rest as in ``mixture_elbo_head``.)
+    """
+    # --- Gumbel-softmax categorical reparameterization -------------------
+    y = jax.nn.softmax((k_logits + g) / tau, axis=-1)               # [B, K]
+    if hard:
+        y_hard = jax.nn.one_hot(jnp.argmax(y, axis=-1), k_logits.shape[-1],
+                                dtype=y.dtype)
+        y = y_hard + (y - jax.lax.stop_gradient(y))  # straight-through
+
+    # --- Gaussian reparameterized sampling from the selected component ---
+    q_logvars = dists.clamp_logvar(q_logvars)
+    hi = jax.lax.Precision.HIGHEST  # tiny contractions; keep the oracle f32-exact
+    mean = jnp.einsum('bk,bkd->bd', y, q_means, precision=hi)       # [B, D]
+    logvar = jnp.einsum('bk,bkd->bd', y, q_logvars, precision=hi)   # [B, D]
+    z = mean + jnp.exp(0.5 * logvar) * eps                          # [B, D]
+
+    # --- densities: LSE over K (the mixture-prior hot loop) --------------
+    log_pi = jax.nn.log_softmax(prior.pi_logits)                    # [K]
+    log_qk = jax.nn.log_softmax(k_logits, axis=-1)                  # [B, K]
+
+    log_prior_mix = dists.mixture_logpdf(z, log_pi, prior.means,
+                                         prior.logvars)             # [B]
+    log_q_mix = dists.mixture_logpdf(z, log_qk, q_means, q_logvars)  # [B]
+
+    # --- conditional (y-interpolated) densities for the structured form --
+    p_mean = jnp.einsum('bk,kd->bd', y, prior.means, precision=hi)
+    p_logvar = jnp.einsum('bk,kd->bd', y, dists.clamp_logvar(prior.logvars),
+                          precision=hi)
+    log_p_cond = dists.gauss_logpdf(z, p_mean, p_logvar)            # [B]
+    log_q_cond = dists.gauss_logpdf(z, mean, logvar)                # [B]
+
+    kl_cat = dists.categorical_kl(k_logits, log_pi)                 # [B]
+
+    return HeadOutputs(z=z, y=y,
+                       log_prior_mix=log_prior_mix, log_q_mix=log_q_mix,
+                       log_p_cond=log_p_cond, log_q_cond=log_q_cond,
+                       kl_cat=kl_cat)
+
+
 def mixture_elbo_head(key: jax.Array,
                       k_logits: jax.Array,
                       q_means: jax.Array,
@@ -79,38 +137,11 @@ def mixture_elbo_head(key: jax.Array,
       hard:      straight-through one-hot selection if True.
     """
     key_g, key_z = jax.random.split(key)
-    b = k_logits.shape[0]
-
-    # --- Gumbel-softmax categorical reparameterization -------------------
-    y = dists.gumbel_softmax(key_g, k_logits, tau, hard=hard)       # [B, K]
-
-    # --- Gaussian reparameterized sampling from the selected component ---
-    q_logvars = dists.clamp_logvar(q_logvars)
-    mean = jnp.einsum('bk,bkd->bd', y, q_means)                     # [B, D]
-    logvar = jnp.einsum('bk,bkd->bd', y, q_logvars)                 # [B, D]
-    eps = jax.random.normal(key_z, mean.shape, mean.dtype)
-    z = mean + jnp.exp(0.5 * logvar) * eps                          # [B, D]
-
-    # --- densities: LSE over K (the mixture-prior hot loop) --------------
-    log_pi = jax.nn.log_softmax(prior.pi_logits)                    # [K]
-    log_qk = jax.nn.log_softmax(k_logits, axis=-1)                  # [B, K]
-
-    log_prior_mix = dists.mixture_logpdf(z, log_pi, prior.means,
-                                         prior.logvars)             # [B]
-    log_q_mix = dists.mixture_logpdf(z, log_qk, q_means, q_logvars)  # [B]
-
-    # --- conditional (y-interpolated) densities for the structured form --
-    p_mean = jnp.einsum('bk,kd->bd', y, prior.means)
-    p_logvar = jnp.einsum('bk,kd->bd', y, dists.clamp_logvar(prior.logvars))
-    log_p_cond = dists.gauss_logpdf(z, p_mean, p_logvar)            # [B]
-    log_q_cond = dists.gauss_logpdf(z, mean, logvar)                # [B]
-
-    kl_cat = dists.categorical_kl(k_logits, log_pi)                 # [B]
-
-    return HeadOutputs(z=z, y=y,
-                       log_prior_mix=log_prior_mix, log_q_mix=log_q_mix,
-                       log_p_cond=log_p_cond, log_q_cond=log_q_cond,
-                       kl_cat=kl_cat)
+    g = dists.sample_gumbel(key_g, k_logits.shape, k_logits.dtype)
+    eps = jax.random.normal(key_z, (k_logits.shape[0], q_means.shape[-1]),
+                            k_logits.dtype)
+    return head_from_noise(g, eps, k_logits, q_means, q_logvars, prior, tau,
+                           hard=hard)
 
 
 def assemble_elbo(log_px_z: jax.Array, head: HeadOutputs,

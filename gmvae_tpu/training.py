@@ -1,0 +1,351 @@
+"""Training runtime: one XLA program per step, DP over a device mesh.
+
+TPU-native redesign of the reference's host-driven epoch loop (SURVEY.md
+§3.1): the reference crossed the host<->device boundary every step to feed a
+batch; here the whole dataset lives in HBM as uint8, batch selection is an
+on-device gather over a precomputed permutation plan, preprocessing (dynamic
+binarization + normalization) is fused into the step, and ``scan_steps``
+micro-steps run inside one jitted ``lax.scan`` so dispatch overhead
+amortizes (SURVEY.md §7.3 hard part #4).
+
+Parallelism: ``shard_map`` over a 1-D ``('data',)`` mesh; each shard computes
+grads on its batch slice and ``psum``s them over ICI — the one communication
+point in the hot loop (SURVEY.md §3.1). A 1-device mesh uses the identical
+code path, so single-chip and pod-slice runs differ only in mesh shape.
+
+Determinism: every random draw derives from ``fold_in(seed_key, step)`` (+
+shard index), so a step is a pure function of ``(params, seed, step)`` —
+failure recovery is restart-from-checkpoint (SURVEY.md §5.3).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import time
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from gmvae_tpu import data as data_lib
+from gmvae_tpu.configs import Config
+from gmvae_tpu.models.gmvae import GMVAE, init_params
+from gmvae_tpu.ops import dists
+from gmvae_tpu.ops.elbo import mixture_elbo_head
+from gmvae_tpu.parallel import mesh as mesh_lib
+from gmvae_tpu.utils import checkpoint as ckpt_lib
+from gmvae_tpu.utils import metrics as metrics_lib
+from gmvae_tpu.utils.logging import RunLogger, save_image_grid
+
+DATA = mesh_lib.DATA_AXIS
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jax.Array  # int32 scalar
+
+
+def make_model(cfg: Config) -> GMVAE:
+    """Build the model with the fused Pallas head when enabled+supported."""
+    head_fn = mixture_elbo_head
+    if cfg.fused:
+        from gmvae_tpu.ops.kernels import fused_elbo
+        if fused_elbo.is_supported():
+            head_fn = fused_elbo.fused_mixture_elbo
+    return GMVAE(cfg, head_fn=head_fn)
+
+
+def make_optimizer(cfg: Config) -> optax.GradientTransformation:
+    return optax.adam(cfg.lr)
+
+
+def schedules(cfg: Config, step: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """(tau, beta) at a step: Gumbel temperature anneal + KL warmup."""
+    tau = dists.temperature_schedule(step, cfg.tau0, cfg.tau_min,
+                                     cfg.tau_anneal)
+    if cfg.kl_warmup_steps > 0:
+        beta = jnp.minimum(1.0, (step.astype(jnp.float32) + 1.0)
+                           / cfg.kl_warmup_steps)
+    else:
+        beta = jnp.float32(1.0)
+    return tau, beta
+
+
+def make_loss_fn(model: GMVAE, cfg: Config):
+    def loss_fn(params, x, key, step):
+        tau, beta = schedules(cfg, step)
+        elbo, aux = model.apply({'params': params}, x, key, tau)
+        log_px_z = aux['log_px_z']
+        kl_total = log_px_z - elbo  # whatever the elbo_form charges
+        # loss anneals the KL weight; the REPORTED elbo never does
+        loss = -jnp.mean(log_px_z - beta * kl_total)
+        metrics = {
+            'loss': loss,
+            'elbo': jnp.mean(elbo),
+            'log_px_z': jnp.mean(log_px_z),
+            'kl': jnp.mean(kl_total),
+            'kl_cat': jnp.mean(aux['kl_cat']),
+            'tau': tau,
+            'beta': beta,
+        }
+        return loss, metrics
+    return loss_fn
+
+
+def make_train_step(model: GMVAE, cfg: Config,
+                    tx: optax.GradientTransformation):
+    """Per-shard step body. Must run inside shard_map over the data axis."""
+    loss_fn = make_loss_fn(model, cfg)
+
+    def train_step(state: TrainState, batch_u8: jax.Array,
+                   base_key: jax.Array):
+        shard = jax.lax.axis_index(DATA)
+        key = jax.random.fold_in(jax.random.fold_in(base_key, state.step),
+                                 shard)
+        k_pre, k_elbo = jax.random.split(key)
+        x = data_lib.preprocess_batch(k_pre, batch_u8, cfg.binarize)
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, x, k_elbo, state.step)
+        # the one collective in the hot loop: gradient all-reduce over ICI
+        grads = jax.lax.pmean(grads, DATA)
+        metrics = jax.lax.pmean(metrics, DATA)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    return train_step
+
+
+def make_train_chunk(model: GMVAE, cfg: Config, mesh,
+                     tx: optax.GradientTransformation):
+    """jit(shard_map(scan of train steps)): the compiled hot loop.
+
+    Args of the returned fn:
+      state:    replicated TrainState
+      x_all:    replicated device-resident uint8 dataset [N, H, W, C]
+      idx:      [S, B_global] int32 batch plan, sharded over the batch axis
+      base_key: replicated PRNG key
+    Returns (state, metrics dict of [S] arrays).
+    """
+    step_fn = make_train_step(model, cfg, tx)
+
+    def chunk(state, x_all, idx, base_key):
+        def body(st, idx_row):
+            return step_fn(st, x_all[idx_row], base_key)
+        return jax.lax.scan(body, state, idx)
+
+    # check_vma=False: the fused Pallas head's out_shapes carry no varying-
+    # across-mesh annotation, which the replication checker rejects; psum
+    # placement is validated by tests/test_dp.py instead.
+    sharded = jax.shard_map(
+        chunk, mesh=mesh,
+        in_specs=(P(), P(), P(None, DATA), P()),
+        out_specs=(P(), P()), check_vma=False)
+    return jax.jit(sharded, donate_argnums=(0,))
+
+
+def make_eval_step(model: GMVAE, cfg: Config, mesh):
+    """Global-jit eval batch: per-sample ELBO + cluster assignment.
+
+    Uses XLA's sharding propagation (batch sharded over 'data', params
+    replicated) instead of shard_map — eval has no collectives to place.
+    """
+    def eval_step(params, batch_u8, key, step):
+        k_pre, k_elbo = jax.random.split(key)
+        x = data_lib.preprocess_batch(k_pre, batch_u8, cfg.binarize)
+        tau, _ = schedules(cfg, step)
+        elbo, aux = model.apply({'params': params}, x, k_elbo, tau)
+        yhat = jnp.argmax(aux['k_logits'], axis=-1)
+        return elbo, yhat
+
+    repl = NamedSharding(mesh, P())
+    bsh = NamedSharding(mesh, P(DATA))
+    return jax.jit(eval_step,
+                   in_shardings=(repl, bsh, repl, repl),
+                   out_shardings=(bsh, bsh))
+
+
+def pad_to_multiple(x: np.ndarray, multiple: int) -> Tuple[np.ndarray, int]:
+    n = x.shape[0]
+    rem = (-n) % multiple
+    if rem:
+        x = np.concatenate([x, x[:rem]], axis=0)
+    return x, n
+
+
+def evaluate(eval_step, cfg: Config, params, test_x: np.ndarray,
+             test_y: Optional[np.ndarray], step: int,
+             seed: int = 17, batch_size: Optional[int] = None) -> Dict[str, float]:
+    """Full test-set eval: ELBO (nats), clustering ACC/NMI (SURVEY.md §3.2/3.4)."""
+    bs = batch_size or cfg.batch_size
+    xs, n = pad_to_multiple(np.asarray(test_x), bs)
+    key = jax.random.PRNGKey(seed)
+    elbos, yhats = [], []
+    step_arr = jnp.int32(step)
+    for i in range(0, xs.shape[0], bs):
+        k = jax.random.fold_in(key, i)
+        e, y = eval_step(params, jnp.asarray(xs[i:i + bs]), k, step_arr)
+        elbos.append(np.asarray(e))
+        yhats.append(np.asarray(y))
+    elbo = float(np.concatenate(elbos)[:n].mean())
+    out = {'elbo_nats': elbo}
+    if test_y is not None:
+        yhat = np.concatenate(yhats)[:n]
+        out['acc'] = metrics_lib.cluster_acc(test_y, yhat)
+        out['nmi'] = metrics_lib.nmi(test_y, yhat)
+    return out
+
+
+class Trainer:
+    """Owns mesh, jitted fns, and device-resident data for a config."""
+
+    def __init__(self, cfg: Config, dataset: Optional[data_lib.Dataset] = None):
+        mesh_lib.init_distributed()
+        self.cfg = cfg
+        self.mesh = mesh_lib.make_mesh(cfg.dp_devices)
+        self.n_dp = self.mesh.shape[DATA]
+        if cfg.batch_size % self.n_dp:
+            raise ValueError(f'batch_size {cfg.batch_size} not divisible by '
+                             f'data-parallel size {self.n_dp}')
+        self.dataset = dataset or data_lib.load(cfg.dataset)
+        self.model = make_model(cfg)
+        self.tx = make_optimizer(cfg)
+        self.train_chunk = make_train_chunk(self.model, cfg, self.mesh, self.tx)
+        self.eval_step = make_eval_step(self.model, cfg, self.mesh)
+        # device-resident training images (uint8: 4x smaller than f32 in HBM)
+        self.x_all = jax.device_put(self.dataset.train_x,
+                                    mesh_lib.replicated(self.mesh))
+        self.base_key = jax.random.PRNGKey(cfg.seed)
+
+    # -- state ----------------------------------------------------------
+    def init_state(self) -> TrainState:
+        params = init_params(self.model, jax.random.fold_in(self.base_key, 0))
+        opt_state = self.tx.init(params)
+        state = TrainState(params, opt_state, jnp.int32(0))
+        return jax.device_put(state, mesh_lib.replicated(self.mesh))
+
+    def state_to_tree(self, state: TrainState) -> Dict[str, Any]:
+        return {'params': state.params, 'opt_state': state.opt_state,
+                'step': state.step}
+
+    def tree_to_state(self, tree: Dict[str, Any]) -> TrainState:
+        state = TrainState(tree['params'], tree['opt_state'],
+                           jnp.int32(tree['step']))
+        return jax.device_put(state, mesh_lib.replicated(self.mesh))
+
+    # -- data plan ------------------------------------------------------
+    def batch_plan(self, n_steps: int, start_step: int = 0) -> jax.Array:
+        """[n_steps, B_global] device-resident batch indices, sharded for DP.
+
+        Multi-host: each process restricts indices to its own contiguous
+        data shard (SURVEY.md §5.8) — here single-host covers the whole set.
+        """
+        n = self.x_all.shape[0]
+        plan_key = jax.random.fold_in(self.base_key, 1)
+        idx = data_lib.epoch_batch_indices(plan_key, n, self.cfg.batch_size,
+                                           start_step + n_steps)
+        idx = idx[start_step:]
+        return jax.device_put(
+            idx, NamedSharding(self.mesh, P(None, DATA)))
+
+    # -- loops ----------------------------------------------------------
+    def run_chunk(self, state: TrainState, idx: jax.Array):
+        return self.train_chunk(state, self.x_all, idx, self.base_key)
+
+    def evaluate(self, state: TrainState, max_examples: Optional[int] = None
+                 ) -> Dict[str, float]:
+        tx, ty = self.dataset.test_x, self.dataset.test_y
+        if max_examples:
+            tx, ty = tx[:max_examples], ty[:max_examples]
+        return evaluate(self.eval_step, self.cfg, state.params, tx, ty,
+                        int(state.step))
+
+
+def fit(cfg: Config, dataset: Optional[data_lib.Dataset] = None,
+        resume: bool = False, logger: Optional[RunLogger] = None,
+        save_grids: bool = False):
+    """Train a config end-to-end. Returns (trainer, state, history).
+
+    The reference's epoch loop becomes: precompute the batch plan, run
+    ``scan_steps``-sized compiled chunks, eval + checkpoint on the cadence
+    the config sets.
+    """
+    trainer = Trainer(cfg, dataset)
+    run_dir = os.path.join(cfg.run_dir, cfg.name)
+    logger = logger or RunLogger(run_dir)
+    state = trainer.init_state()
+
+    if resume:
+        path = ckpt_lib.latest_ckpt(run_dir)
+        if path:
+            tree = ckpt_lib.restore_ckpt(path, trainer.state_to_tree(state))
+            state = trainer.tree_to_state(tree)
+            logger.log({'event': 'resume', 'from': path,
+                        'step': int(state.step)})
+
+    start = int(state.step)
+    total = cfg.steps
+    chunk = max(1, cfg.scan_steps)
+    idx_plan = trainer.batch_plan(total - start, start_step=start)
+
+    history = []
+    t_last = time.perf_counter()
+    imgs_since = 0
+    pos = 0
+    while pos < idx_plan.shape[0]:
+        s = min(chunk, idx_plan.shape[0] - pos)
+        state, _ = trainer.run_chunk(state, idx_plan[pos:pos + s])
+        pos += s
+        imgs_since += s * cfg.batch_size
+        step_now = start + pos
+
+        if step_now % cfg.eval_every < s or pos >= idx_plan.shape[0]:
+            # device->host fetch as a real fence (block_until_ready does not
+            # synchronize on the axon remote platform)
+            int(jax.device_get(state.step))
+            dt = time.perf_counter() - t_last
+            row = {'step': step_now,
+                   'img_per_sec': imgs_since / max(dt, 1e-9)}
+            row.update(trainer.evaluate(state))
+            logger.log(row)
+            history.append(row)
+            if save_grids:
+                _save_grids(trainer, state, run_dir, step_now)
+            t_last = time.perf_counter()
+            imgs_since = 0
+
+        if cfg.ckpt_every and (step_now % cfg.ckpt_every < s
+                               or pos >= idx_plan.shape[0]):
+            ckpt_lib.save_ckpt(
+                os.path.join(run_dir, f'ckpt_{step_now}.msgpack'),
+                trainer.state_to_tree(state))
+
+    return trainer, state, history
+
+
+def _save_grids(trainer: Trainer, state: TrainState, run_dir: str,
+                step: int) -> None:
+    """Sample + reconstruction PNG grids (reference's qualitative outputs)."""
+    cfg = trainer.cfg
+    model = trainer.model
+
+    @functools.partial(jax.jit)
+    def gen(params, key):
+        return model.apply({'params': params}, key, 64, method=model.sample)
+
+    @functools.partial(jax.jit)
+    def rec(params, x):
+        return model.apply({'params': params}, x, method=model.reconstruct)
+
+    key = jax.random.fold_in(jax.random.PRNGKey(7), step)
+    samples = np.asarray(gen(state.params, key))
+    save_image_grid(os.path.join(run_dir, f'samples_{step}.png'), samples)
+    x = data_lib.normalize_image(jnp.asarray(trainer.dataset.test_x[:64]))
+    recon = np.asarray(rec(state.params, x))
+    both = np.stack([np.asarray(x), recon], 1).reshape(-1, *recon.shape[1:])
+    save_image_grid(os.path.join(run_dir, f'recon_{step}.png'), both, ncol=16)

@@ -25,7 +25,9 @@ def save_ckpt(path: str, state_tree: Dict[str, Any]) -> None:
     if jax.process_index() != 0:
         return
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    payload = serialization.msgpack_serialize(_to_host(state_tree))
+    # state-dict first: msgpack can't pack tuples/NamedTuples (optax states)
+    payload = serialization.msgpack_serialize(
+        serialization.to_state_dict(_to_host(state_tree)))
     tmp = path + '.tmp'
     with open(tmp, 'wb') as f:
         f.write(payload)
@@ -36,8 +38,8 @@ def restore_ckpt(path: str, like: Dict[str, Any]) -> Dict[str, Any]:
     """Restore a snapshot into the structure of ``like`` (shape/dtype donor)."""
     with open(path, 'rb') as f:
         payload = f.read()
-    return serialization.from_bytes(_to_host(like),
-                                    payload)
+    return serialization.from_state_dict(
+        _to_host(like), serialization.msgpack_restore(payload))
 
 
 def latest_ckpt(run_dir: str) -> str | None:

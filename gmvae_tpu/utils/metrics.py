@@ -47,7 +47,7 @@ def nmi(labels_true: np.ndarray, labels_pred: np.ndarray) -> float:
     pi = pij.sum(axis=1, keepdims=True)
     pj = pij.sum(axis=0, keepdims=True)
     nz = pij > 0
-    mi = float(np.sum(pij[nz] * (np.log(pij[nz]) - np.log((pi @ pj))[nz])))
+    mi = float(np.sum(pij[nz] * (np.log(pij[nz]) - np.log((pi @ pj)[nz]))))
     h_true = -float(np.sum(pi[pi > 0] * np.log(pi[pi > 0])))
     h_pred = -float(np.sum(pj[pj > 0] * np.log(pj[pj > 0])))
     denom = h_true + h_pred

@@ -1,0 +1,129 @@
+"""Public-API tests: the four verbs round-trip; checkpoints are bit-stable
+(SURVEY.md §4.2 tier 7)."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+import gmvae_tpu
+from gmvae_tpu import api, configs
+from gmvae_tpu import data as data_lib
+from gmvae_tpu import training as train_lib
+from gmvae_tpu.utils import checkpoint as ckpt_lib
+
+
+@pytest.fixture(scope='module')
+def short_run(tmp_path_factory):
+    cfg = configs.synthetic_tiny(
+        steps=60, eval_every=60, ckpt_every=60,
+        run_dir=str(tmp_path_factory.mktemp('runs')))
+    trainer, state, history = api.train(cfg)
+    return cfg, trainer, state, history
+
+
+def test_package_exports_the_four_verbs():
+    for verb in ('train', 'eval_elbo', 'sample', 'reconstruct',
+                 'cluster_assign'):
+        assert callable(getattr(gmvae_tpu, verb)), verb
+
+
+def test_eval_elbo_shape_and_keys(short_run):
+    _, trainer, state, _ = short_run
+    out = api.eval_elbo(trainer, state, max_examples=128)
+    assert set(out) >= {'elbo_nats', 'acc', 'nmi'}
+    assert np.isfinite(out['elbo_nats'])
+    assert 0.0 <= out['acc'] <= 1.0
+
+
+def test_sample_shapes_and_range(short_run):
+    cfg, trainer, state, _ = short_run
+    imgs = api.sample(trainer, state, n=5, seed=1)
+    assert imgs.shape == (5, *cfg.image_shape)
+    assert imgs.dtype == np.float32
+    assert np.isfinite(imgs).all()
+    # bernoulli likelihood -> sigmoid means in [0, 1]
+    assert imgs.min() >= 0.0 and imgs.max() <= 1.0
+    # per-component conditional sampling
+    imgs_k = api.sample(trainer, state, n=3, component=1)
+    assert imgs_k.shape == (3, *cfg.image_shape)
+
+
+def test_sample_deterministic_given_seed(short_run):
+    _, trainer, state, _ = short_run
+    a = api.sample(trainer, state, n=4, seed=9)
+    b = api.sample(trainer, state, n=4, seed=9)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_reconstruct_roundtrip(short_run):
+    cfg, trainer, state, _ = short_run
+    x = trainer.dataset.test_x[:8]
+    rec = api.reconstruct(trainer, state, x)
+    assert rec.shape == (8, *cfg.image_shape)
+    assert np.isfinite(rec).all()
+    # after training, reconstruction should beat a gray-image baseline
+    x01 = x.astype(np.float32) / 255.0
+    assert np.abs(rec - x01).mean() < np.abs(0.5 - x01).mean()
+
+
+def test_cluster_assign_and_metrics(short_run):
+    cfg, trainer, state, _ = short_run
+    yhat = api.cluster_assign(trainer, state, trainer.dataset.test_x[:256])
+    assert yhat.shape == (256,)
+    assert yhat.min() >= 0 and yhat.max() < cfg.n_components
+    m = api.cluster_metrics(trainer.dataset.test_y[:256], yhat)
+    assert set(m) == {'acc', 'nmi'}
+
+
+def test_checkpoint_roundtrip_bitstable(short_run, tmp_path):
+    _, trainer, state, _ = short_run
+    path = os.path.join(tmp_path, 'ckpt_test.msgpack')
+    tree = trainer.state_to_tree(state)
+    ckpt_lib.save_ckpt(path, tree)
+    restored = ckpt_lib.restore_ckpt(path, tree)
+    for got, want in zip(jax.tree.leaves(restored), jax.tree.leaves(tree)):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_resume_continues_identically(tmp_path):
+    """restore -> continue == uninterrupted run (determinism, SURVEY.md §5.3)."""
+    cfg = configs.synthetic_tiny(steps=40, eval_every=10**9, ckpt_every=0,
+                                 run_dir=str(tmp_path))
+    trainer = train_lib.Trainer(cfg)
+
+    # uninterrupted: 40 steps
+    s_full = trainer.init_state()
+    s_full, _ = trainer.run_chunk(s_full, trainer.batch_plan(40))
+
+    # interrupted at 20, checkpointed, restored, continued
+    s_half = trainer.init_state()
+    s_half, _ = trainer.run_chunk(s_half, trainer.batch_plan(20))
+    path = os.path.join(tmp_path, 'mid.msgpack')
+    ckpt_lib.save_ckpt(path, trainer.state_to_tree(s_half))
+    restored = trainer.tree_to_state(
+        ckpt_lib.restore_ckpt(path, trainer.state_to_tree(s_half)))
+    assert int(restored.step) == 20
+    resumed, _ = trainer.run_chunk(restored,
+                                   trainer.batch_plan(20, start_step=20))
+
+    for got, want in zip(jax.tree.leaves(resumed.params),
+                         jax.tree.leaves(s_full.params)):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_cli_overrides_parse():
+    ov = configs.parse_overrides(['steps=100', 'lr=0.01', 'fused=false',
+                                  'enc_hidden=(32,32)', 'dataset=mnist'])
+    assert ov == {'steps': 100, 'lr': 0.01, 'fused': False,
+                  'enc_hidden': (32, 32), 'dataset': 'mnist'}
+    with pytest.raises(KeyError):
+        configs.parse_overrides(['nope=1'])
+
+
+def test_all_named_configs_construct():
+    for name in configs.CONFIGS:
+        cfg = configs.get_config(name)
+        assert cfg.name == name
+        assert cfg.batch_size > 0 and cfg.latent_dim > 0

@@ -1,0 +1,79 @@
+"""Data pipeline tests: binarization determinism, normalization, batching
+(SURVEY.md §4.2 tier 3). Synthetic fixtures only — no downloads in CI."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gmvae_tpu import data as data_lib
+
+
+def test_synthetic_deterministic():
+    a = data_lib.make_synthetic(seed=3)
+    b = data_lib.make_synthetic(seed=3)
+    np.testing.assert_array_equal(a.train_x, b.train_x)
+    np.testing.assert_array_equal(a.train_y, b.train_y)
+    c = data_lib.make_synthetic(seed=4)
+    assert not np.array_equal(a.train_x, c.train_x)
+
+
+def test_synthetic_clusters_are_separable():
+    ds = data_lib.make_synthetic(n_clusters=2, seed=0)
+    x = ds.train_x.reshape(len(ds.train_x), -1).astype(np.float32)
+    # nearest-centroid on true labels classifies almost perfectly
+    c0, c1 = x[ds.train_y == 0].mean(0), x[ds.train_y == 1].mean(0)
+    pred = (np.linalg.norm(x - c1, axis=1)
+            < np.linalg.norm(x - c0, axis=1)).astype(int)
+    assert (pred == ds.train_y).mean() > 0.99
+
+
+def test_normalize_range():
+    x = np.array([[0, 127, 255]], np.uint8)
+    out = np.asarray(data_lib.normalize_image(jnp.asarray(x)))
+    np.testing.assert_allclose(out, [[0.0, 127 / 255, 1.0]], rtol=1e-6)
+
+
+def test_dynamic_binarize_same_key_same_mask():
+    key = jax.random.PRNGKey(5)
+    x = jnp.full((4, 8, 8, 1), 0.5)
+    a = data_lib.preprocess_batch(key, (x * 255).astype(jnp.uint8), True)
+    b = data_lib.preprocess_batch(key, (x * 255).astype(jnp.uint8), True)
+    np.testing.assert_array_equal(a, b)
+    c = data_lib.preprocess_batch(jax.random.PRNGKey(6),
+                                  (x * 255).astype(jnp.uint8), True)
+    assert not np.array_equal(a, c)
+    assert set(np.unique(np.asarray(a))) <= {0.0, 1.0}
+
+
+def test_dynamic_binarize_matches_intensity():
+    key = jax.random.PRNGKey(7)
+    x = jnp.full((100, 32, 32, 1), 0.3)
+    out = data_lib.dynamic_binarize(key, x)
+    np.testing.assert_allclose(float(out.mean()), 0.3, atol=0.01)
+
+
+def test_epoch_batch_indices_permutation_property():
+    idx = data_lib.epoch_batch_indices(jax.random.PRNGKey(0), n_data=100,
+                                       batch_size=10, n_steps=10)
+    assert idx.shape == (10, 10)
+    # one epoch = exactly a permutation of all 100 examples
+    flat = np.sort(np.asarray(idx).ravel())
+    np.testing.assert_array_equal(flat, np.arange(100))
+
+
+def test_epoch_batch_indices_multi_epoch_differs():
+    idx = data_lib.epoch_batch_indices(jax.random.PRNGKey(0), n_data=50,
+                                       batch_size=10, n_steps=10)
+    e1, e2 = np.asarray(idx[:5]).ravel(), np.asarray(idx[5:]).ravel()
+    assert not np.array_equal(e1, e2)         # different order
+    np.testing.assert_array_equal(np.sort(e1), np.sort(e2))  # same coverage
+
+
+def test_loader_fallback_warns_and_shapes():
+    import warnings
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter('always')
+        ds = data_lib.load('svhn')  # no cache, no network -> synthetic
+    assert ds.train_x.shape[1:] == (32, 32, 3)
+    assert ds.synthetic
+    assert any('synthetic' in str(x.message) for x in w)

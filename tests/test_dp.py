@@ -1,0 +1,133 @@
+"""Distributed (DP) tests on 8 fake CPU devices (SURVEY.md §4.2 tier 6).
+
+(a) the shard_map+psum step equals a hand-computed reference that averages
+    per-shard gradients; (b) params stay replicated across devices; (c) the
+    1-device mesh path is the same code.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from gmvae_tpu import configs
+from gmvae_tpu import data as data_lib
+from gmvae_tpu import training as train_lib
+from gmvae_tpu.models.gmvae import init_params
+from gmvae_tpu.parallel import mesh as mesh_lib
+
+
+N_DEV = 8
+
+
+@pytest.fixture(scope='module')
+def setup():
+    assert jax.device_count() >= N_DEV, 'conftest must provide 8 fake devices'
+    cfg = configs.synthetic_tiny(batch_size=64)
+    model = train_lib.make_model(cfg)
+    tx = train_lib.make_optimizer(cfg)
+    params = init_params(model, jax.random.PRNGKey(0))
+    ds = data_lib.make_synthetic(image_shape=cfg.image_shape,
+                                 n_clusters=2, n_train=256, seed=1)
+    # the train chunk DONATES its state; hand every test a fresh deep copy
+    # so the shared fixture params are never invalidated
+    fresh = lambda: jax.tree.map(jnp.array, params)
+    return cfg, model, tx, fresh, ds
+
+
+def _manual_step(cfg, model, tx, params, opt_state, x_all, idx_row, base_key,
+                 step, n_shards):
+    """Pure-jnp reference for one DP step: per-shard grads with the same
+    fold_in(step)+fold_in(shard) keys, arithmetic mean, one optax update."""
+    loss_fn = train_lib.make_loss_fn(model, cfg)
+    b_local = idx_row.shape[0] // n_shards
+    grads_sum = None
+    for s in range(n_shards):
+        key = jax.random.fold_in(jax.random.fold_in(base_key, step), s)
+        k_pre, k_elbo = jax.random.split(key)
+        batch = x_all[idx_row[s * b_local:(s + 1) * b_local]]
+        x = data_lib.preprocess_batch(k_pre, batch, cfg.binarize)
+        g = jax.grad(lambda p: loss_fn(p, x, k_elbo, jnp.int32(step))[0])(
+            params)
+        grads_sum = g if grads_sum is None else jax.tree.map(
+            jnp.add, grads_sum, g)
+    grads = jax.tree.map(lambda a: a / n_shards, grads_sum)
+    updates, opt_state = tx.update(grads, opt_state, params)
+    return optax.apply_updates(params, updates), opt_state
+
+
+def test_dp_step_matches_manual_shard_average(setup):
+    cfg, model, tx, fresh, ds = setup
+    params = fresh()
+    mesh = mesh_lib.make_mesh(dp_devices=N_DEV,
+                              devices=jax.devices()[:N_DEV])
+    state = train_lib.TrainState(params, tx.init(params), jnp.int32(0))
+    state = jax.device_put(state, mesh_lib.replicated(mesh))
+    x_all = jax.device_put(jnp.asarray(ds.train_x),
+                           mesh_lib.replicated(mesh))
+    base_key = jax.random.PRNGKey(9)
+    rng = np.random.default_rng(0)
+    idx = rng.integers(0, ds.train_x.shape[0],
+                       size=(1, cfg.batch_size)).astype(np.int32)
+    idx_dev = jax.device_put(jnp.asarray(idx),
+                             NamedSharding(mesh, P(None, mesh_lib.DATA_AXIS)))
+
+    chunk = train_lib.make_train_chunk(model, cfg, mesh, tx)
+    new_state, _ = chunk(state, x_all, idx_dev, base_key)
+
+    params2 = fresh()
+    want_params, _ = _manual_step(cfg, model, tx, params2, tx.init(params2),
+                                  jnp.asarray(ds.train_x), jnp.asarray(idx[0]),
+                                  base_key, 0, N_DEV)
+    for got, want in zip(jax.tree.leaves(new_state.params),
+                         jax.tree.leaves(want_params)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=5e-5, atol=5e-6)
+
+
+def test_params_replicated_after_steps(setup):
+    cfg, model, tx, fresh, ds = setup
+    params = fresh()
+    mesh = mesh_lib.make_mesh(dp_devices=N_DEV,
+                              devices=jax.devices()[:N_DEV])
+    state = train_lib.TrainState(params, tx.init(params), jnp.int32(0))
+    state = jax.device_put(state, mesh_lib.replicated(mesh))
+    x_all = jax.device_put(jnp.asarray(ds.train_x), mesh_lib.replicated(mesh))
+    rng = np.random.default_rng(1)
+    idx = jax.device_put(
+        jnp.asarray(rng.integers(0, ds.train_x.shape[0],
+                                 size=(5, cfg.batch_size)).astype(np.int32)),
+        NamedSharding(mesh, P(None, mesh_lib.DATA_AXIS)))
+    chunk = train_lib.make_train_chunk(model, cfg, mesh, tx)
+    state, metrics = chunk(state, x_all, idx, jax.random.PRNGKey(3))
+
+    leaf = jax.tree.leaves(state.params)[0]
+    assert leaf.sharding.is_fully_replicated
+    # physically identical on every device
+    shards = [np.asarray(s.data) for s in leaf.addressable_shards]
+    for s in shards[1:]:
+        np.testing.assert_array_equal(shards[0], s)
+    assert np.isfinite(np.asarray(metrics['elbo'])).all()
+
+
+def test_single_device_mesh_same_code_path(setup):
+    cfg, model, tx, fresh, ds = setup
+    params = fresh()
+    mesh1 = mesh_lib.make_mesh(dp_devices=1, devices=jax.devices()[:1])
+    state = train_lib.TrainState(params, tx.init(params), jnp.int32(0))
+    state = jax.device_put(state, mesh_lib.replicated(mesh1))
+    x_all = jax.device_put(jnp.asarray(ds.train_x), mesh_lib.replicated(mesh1))
+    idx = jax.device_put(
+        jnp.arange(2 * cfg.batch_size, dtype=jnp.int32).reshape(2, -1) % 256,
+        NamedSharding(mesh1, P(None, mesh_lib.DATA_AXIS)))
+    chunk = train_lib.make_train_chunk(model, cfg, mesh1, tx)
+    state, metrics = chunk(state, x_all, idx, jax.random.PRNGKey(3))
+    assert np.isfinite(np.asarray(metrics['elbo'])).all()
+
+
+def test_batch_size_divisibility_enforced():
+    cfg = configs.synthetic_tiny(batch_size=30, dp_devices=8)
+    with pytest.raises(ValueError, match='divisible'):
+        train_lib.Trainer(cfg, data_lib.make_synthetic())

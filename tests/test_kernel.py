@@ -1,0 +1,124 @@
+"""Fused Pallas kernel vs jnp golden path (SURVEY.md §4.2 tier 2).
+
+Runs the kernel in interpret mode on CPU with 'xla' noise (threefry drawn
+outside and streamed in), which must match ``ops.elbo.mixture_elbo_head``
+bit-for-intent — forward AND gradients. The in-kernel-PRNG mode and compiled
+Mosaic path are exercised on real TPU (see bench/ and the driver's entry
+check); the parity there was verified at <1e-5 max abs diff.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gmvae_tpu.ops import elbo as elbo_lib
+from gmvae_tpu.ops.kernels import fused_elbo
+
+
+def _problem(b=37, k=5, d=11, seed=0):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 7)
+    k_logits = jax.random.normal(ks[0], (b, k))
+    q_means = jax.random.normal(ks[1], (b, k, d))
+    q_logvars = jax.random.uniform(ks[2], (b, k, d), minval=-1, maxval=1)
+    prior = elbo_lib.MixturePrior(
+        jax.random.normal(ks[3], (k,)),
+        jax.random.normal(ks[4], (k, d)),
+        jax.random.uniform(ks[5], (k, d), minval=-1, maxval=1))
+    return ks[6], k_logits, q_means, q_logvars, prior
+
+
+@pytest.mark.parametrize('hard', [False, True])
+def test_forward_matches_golden(hard):
+    key, k_logits, q_means, q_logvars, prior = _problem()
+    tau = jnp.float32(0.8)
+    ref = elbo_lib.mixture_elbo_head(key, k_logits, q_means, q_logvars,
+                                     prior, tau, hard=hard)
+    got = fused_elbo.fused_mixture_elbo(key, k_logits, q_means, q_logvars,
+                                        prior, tau, hard=hard,
+                                        noise_mode='xla', interpret=True)
+    for name, a, b in zip(ref._fields, ref, got):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5, err_msg=name)
+
+
+@pytest.mark.parametrize('hard', [False, True])
+def test_gradients_match_golden(hard):
+    key, k_logits, q_means, q_logvars, prior = _problem(b=16, k=4, d=6,
+                                                        seed=1)
+    tau = jnp.float32(0.8)
+
+    def scalar_loss(head: elbo_lib.HeadOutputs):
+        # touches every output so every cotangent path is exercised
+        return (0.1 * jnp.sum(head.z) + 0.03 * jnp.sum(head.y)
+                + jnp.mean(head.log_prior_mix - head.log_q_mix)
+                + jnp.mean(head.log_p_cond - head.log_q_cond)
+                - jnp.mean(head.kl_cat))
+
+    def loss_ref(kl, qm, qlv, pi, pm, plv):
+        h = elbo_lib.mixture_elbo_head(
+            key, kl, qm, qlv, elbo_lib.MixturePrior(pi, pm, plv), tau,
+            hard=hard)
+        return scalar_loss(h)
+
+    def loss_fused(kl, qm, qlv, pi, pm, plv):
+        h = fused_elbo.fused_mixture_elbo(
+            key, kl, qm, qlv, elbo_lib.MixturePrior(pi, pm, plv), tau,
+            hard=hard, noise_mode='xla', interpret=True)
+        return scalar_loss(h)
+
+    args = (k_logits, q_means, q_logvars, *prior)
+    g_ref = jax.grad(loss_ref, argnums=tuple(range(6)))(*args)
+    g_fused = jax.grad(loss_fused, argnums=tuple(range(6)))(*args)
+    for a, b in zip(g_ref, g_fused):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_unaligned_batch_padding():
+    # batch not a multiple of 8: wrapper pads / unpads transparently
+    key, k_logits, q_means, q_logvars, prior = _problem(b=13, k=3, d=5,
+                                                        seed=2)
+    tau = jnp.float32(1.1)
+    ref = elbo_lib.mixture_elbo_head(key, k_logits, q_means, q_logvars,
+                                     prior, tau)
+    got = fused_elbo.fused_mixture_elbo(key, k_logits, q_means, q_logvars,
+                                        prior, tau, noise_mode='xla',
+                                        interpret=True)
+    assert got.z.shape == (13, 5)
+    np.testing.assert_allclose(np.asarray(ref.z), np.asarray(got.z),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_model_level_equivalence():
+    """Full GMVAE loss with fused head (interpret) == with jnp head."""
+    from gmvae_tpu import configs
+    from gmvae_tpu.models.gmvae import GMVAE, init_params
+
+    cfg = configs.synthetic_tiny()
+    head = lambda *a, **kw: fused_elbo.fused_mixture_elbo(
+        *a, **kw, noise_mode='xla', interpret=True)
+    m_ref = GMVAE(cfg)
+    m_fused = GMVAE(cfg, head_fn=head)
+    params = init_params(m_ref, jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (16, *cfg.image_shape))
+    key, tau = jax.random.PRNGKey(2), jnp.float32(0.9)
+
+    e_ref, _ = m_ref.apply({'params': params}, x, key, tau)
+    e_fused, _ = m_fused.apply({'params': params}, x, key, tau)
+    np.testing.assert_allclose(np.asarray(e_ref), np.asarray(e_fused),
+                               rtol=1e-5, atol=1e-4)
+
+    g_ref = jax.grad(
+        lambda p: -jnp.mean(m_ref.apply({'params': p}, x, key, tau)[0]))(
+            params)
+    g_fused = jax.grad(
+        lambda p: -jnp.mean(m_fused.apply({'params': p}, x, key, tau)[0]))(
+            params)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_fused)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_is_supported_reports_backend():
+    assert fused_elbo.is_supported() == (jax.default_backend() == 'tpu')

@@ -1,0 +1,94 @@
+"""Integration + golden-regression tests (SURVEY.md §4.2 tiers 4-5)."""
+
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from gmvae_tpu import configs
+from gmvae_tpu import data as data_lib
+from gmvae_tpu import training as train_lib
+
+GOLDEN_PATH = os.path.join(os.path.dirname(__file__), 'golden',
+                           'elbo_synthetic.json')
+
+
+def _tiny_cfg(**kw):
+    return configs.synthetic_tiny(run_dir='/tmp/gmvae_test_runs').replace(**kw)
+
+
+@pytest.fixture(scope='module')
+def planted_run(tmp_path_factory):
+    """Train 300 steps on the 2-cluster planted dataset (module-scoped:
+    several tests share this run)."""
+    cfg = _tiny_cfg(elbo_form='structured', hard_gumbel=False,
+                    run_dir=str(tmp_path_factory.mktemp('runs')))
+    trainer, state, history = train_lib.fit(cfg)
+    return cfg, trainer, state, history
+
+
+def test_elbo_improves_and_recovers_planted_clusters(planted_run):
+    _, _, _, history = planted_run
+    elbos = [h['elbo_nats'] for h in history]
+    assert elbos[-1] > elbos[0] + 0.5, elbos       # ELBO strictly improves
+    assert history[-1]['acc'] > 0.95, history[-1]  # 2 planted clusters found
+    assert history[-1]['nmi'] > 0.7, history[-1]
+
+
+def test_mixture_form_also_learns():
+    cfg = _tiny_cfg(elbo_form='mixture', hard_gumbel=True, steps=300)
+    _, _, history = train_lib.fit(cfg)
+    assert history[-1]['elbo_nats'] > history[0]['elbo_nats']
+    assert history[-1]['acc'] > 0.8, history[-1]
+
+
+def test_training_is_deterministic():
+    cfg = _tiny_cfg(steps=40, eval_every=40, ckpt_every=0)
+    _, s1, h1 = train_lib.fit(cfg)
+    _, s2, h2 = train_lib.fit(cfg)
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(s1.params)[0]),
+        np.asarray(jax.tree.leaves(s2.params)[0]))
+    assert h1[-1]['elbo_nats'] == h2[-1]['elbo_nats']
+
+
+def test_nan_free_at_low_temperature():
+    # tau driven to the floor immediately: the Gumbel-softmax NaN hotspot
+    # (SURVEY.md §7.3 hard part #2)
+    cfg = _tiny_cfg(steps=60, eval_every=60, tau0=0.51, tau_min=0.5,
+                    tau_anneal=1.0, ckpt_every=0)
+    _, state, history = train_lib.fit(cfg)
+    assert np.isfinite(history[-1]['elbo_nats'])
+    for leaf in jax.tree.leaves(state.params):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_kl_warmup_schedule():
+    import jax.numpy as jnp
+    cfg = _tiny_cfg(kl_warmup_steps=100)
+    _, beta0 = train_lib.schedules(cfg, jnp.int32(0))
+    _, beta50 = train_lib.schedules(cfg, jnp.int32(49))
+    _, beta_end = train_lib.schedules(cfg, jnp.int32(1000))
+    assert float(beta0) == pytest.approx(0.01)
+    assert float(beta50) == pytest.approx(0.5)
+    assert float(beta_end) == 1.0
+
+
+def test_golden_elbo_trajectory():
+    """Seed-frozen 50-step ELBO trajectory vs checked-in golden file —
+    guards numerics refactors and kernel swaps (SURVEY.md §4.2 tier 5).
+    Regenerate deliberately with: python tests/make_golden.py"""
+    if not os.path.exists(GOLDEN_PATH):
+        pytest.skip('golden file not generated yet')
+    with open(GOLDEN_PATH) as f:
+        golden = json.load(f)
+    cfg = _tiny_cfg(**golden['config_overrides'])
+    trainer = train_lib.Trainer(cfg)
+    state = trainer.init_state()
+    idx = trainer.batch_plan(golden['steps'])
+    state, metrics = trainer.run_chunk(state, idx)
+    got = np.asarray(metrics['elbo'])
+    want = np.asarray(golden['elbo'], np.float32)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-3)
