@@ -81,6 +81,24 @@ def replicate(mesh: Mesh, tree):
     return jax.device_put(tree, replicated(mesh))
 
 
+def put_global(mesh: Mesh, spec: P, host_array) -> jax.Array:
+    """Build a global jax.Array from an identical host array on every process.
+
+    Single-host this is just device_put; multi-host (v5e-16 pod slice,
+    SURVEY.md §5.8) it assembles the global array from each process's
+    addressable shards — every process must hold the same full host array
+    (our datasets and batch plans are deterministic from the config seed, so
+    they are identical by construction).
+    """
+    import numpy as np  # local: keep module import surface slim
+    host_array = np.asarray(host_array)
+    sharding = NamedSharding(mesh, spec)
+    if jax.process_count() == 1:
+        return jax.device_put(host_array, sharding)
+    return jax.make_array_from_callback(
+        host_array.shape, sharding, lambda idx: host_array[idx])
+
+
 def process_shard(n: int) -> slice:
     """This host's contiguous shard of ``n`` examples for multi-host input
     pipelines (SURVEY.md §5.8): process ``i`` of ``p`` owns ``[i*n//p, (i+1)*n//p)``."""

@@ -217,9 +217,10 @@ class Trainer:
         self.tx = make_optimizer(cfg)
         self.train_chunk = make_train_chunk(self.model, cfg, self.mesh, self.tx)
         self.eval_step = make_eval_step(self.model, cfg, self.mesh)
-        # device-resident training images (uint8: 4x smaller than f32 in HBM)
-        self.x_all = jax.device_put(self.dataset.train_x,
-                                    mesh_lib.replicated(self.mesh))
+        # device-resident training images (uint8: 4x smaller than f32 in
+        # HBM); put_global keeps this multi-host-safe (SURVEY.md §5.8)
+        self.x_all = mesh_lib.put_global(self.mesh, P(),
+                                         self.dataset.train_x)
         self.base_key = jax.random.PRNGKey(cfg.seed)
 
     # -- state ----------------------------------------------------------
@@ -250,8 +251,7 @@ class Trainer:
         idx = data_lib.epoch_batch_indices(plan_key, n, self.cfg.batch_size,
                                            start_step + n_steps)
         idx = idx[start_step:]
-        return jax.device_put(
-            idx, NamedSharding(self.mesh, P(None, DATA)))
+        return mesh_lib.put_global(self.mesh, P(None, DATA), idx)
 
     # -- loops ----------------------------------------------------------
     def run_chunk(self, state: TrainState, idx: jax.Array):

@@ -1,0 +1,102 @@
+"""Per-architecture model smoke tests: every BASELINE config's network
+family runs forward + backward with finite outputs (SURVEY.md §2.1 rows
+MLP/conv/ResNet enc-dec, GMVAE model)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gmvae_tpu import configs
+from gmvae_tpu.models.gmvae import GMVAE, init_params, param_count
+
+
+def _shrunk(cfg):
+    """Scale a named config down to CPU-test size, keeping its architecture
+    family, likelihood, and K intact."""
+    over = dict(batch_size=4)
+    if cfg.arch == 'mlp':
+        over['enc_hidden'] = (32, 32)
+        over['dec_hidden'] = (32, 32)
+    else:
+        over['enc_hidden'] = tuple(8 for _ in cfg.enc_hidden)
+        over['dec_hidden'] = tuple(8 for _ in cfg.dec_hidden)
+    over['latent_dim'] = min(cfg.latent_dim, 8)
+    return cfg.replace(**over)
+
+
+@pytest.mark.parametrize('name', ['mnist_k10', 'fmnist_deep', 'svhn_conv',
+                                  'cifar_k20', 'celeba_dp16'])
+def test_arch_forward_backward(name):
+    cfg = _shrunk(configs.get_config(name, compute_dtype='float32'))
+    model = GMVAE(cfg)
+    params = init_params(model, jax.random.PRNGKey(0))
+    assert param_count(params) > 0
+    x = jax.random.uniform(jax.random.PRNGKey(1), (4, *cfg.image_shape))
+    key, tau = jax.random.PRNGKey(2), jnp.float32(1.0)
+
+    def loss(p):
+        elbo, _ = model.apply({'params': p}, x, key, tau)
+        return -jnp.mean(elbo)
+
+    val, grads = jax.value_and_grad(loss)(params)
+    assert np.isfinite(float(val))
+    for leaf in jax.tree.leaves(grads):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
+@pytest.mark.parametrize('name', ['svhn_conv', 'cifar_k20'])
+def test_gaussian_likelihood_heads(name):
+    """Gaussian-likelihood decoders emit (mean, logvar) of image shape."""
+    cfg = _shrunk(configs.get_config(name))
+    model = GMVAE(cfg)
+    params = init_params(model, jax.random.PRNGKey(0))
+    z = jax.random.normal(jax.random.PRNGKey(1), (3, cfg.latent_dim))
+    mean, logvar = model.apply({'params': params}, z, method=model.decode)
+    assert mean.shape == (3, *cfg.image_shape)
+    assert logvar.shape == (3, *cfg.image_shape)
+    # sample/reconstruct produce images, not logits, for gaussian models
+    imgs = model.apply({'params': params}, jax.random.PRNGKey(2), 2,
+                       method=model.sample)
+    assert imgs.shape == (2, *cfg.image_shape)
+
+
+def test_bfloat16_compute_path():
+    """compute_dtype='bfloat16' runs the MXU path; outputs stay float32."""
+    cfg = _shrunk(configs.mnist_k10(compute_dtype='bfloat16'))
+    model = GMVAE(cfg)
+    params = init_params(model, jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (4, *cfg.image_shape))
+    elbo, aux = model.apply({'params': params}, x, jax.random.PRNGKey(2),
+                            jnp.float32(1.0))
+    assert elbo.dtype == jnp.float32
+    assert np.isfinite(np.asarray(elbo)).all()
+    # params remain f32 master copies
+    assert all(l.dtype == jnp.float32 for l in jax.tree.leaves(params))
+
+
+def test_encoder_head_shapes():
+    cfg = configs.synthetic_tiny()
+    model = GMVAE(cfg)
+    params = init_params(model, jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (5, *cfg.image_shape))
+    k_logits, q_means, q_logvars = model.apply({'params': params}, x,
+                                               method=model.encode)
+    K, D = cfg.n_components, cfg.latent_dim
+    assert k_logits.shape == (5, K)
+    assert q_means.shape == (5, K, D)
+    assert q_logvars.shape == (5, K, D)
+
+
+def test_checked_elbo_reports_clean_on_healthy_model():
+    from gmvae_tpu.utils.debug import checked_elbo, tau_floor_audit
+    cfg = configs.synthetic_tiny()
+    model = GMVAE(cfg)
+    params = init_params(model, jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (4, *cfg.image_shape))
+    msg, flags = checked_elbo(model, params, x, jax.random.PRNGKey(2),
+                              jnp.float32(0.7))
+    assert msg is None
+    assert all(flags.values())
+    audit = tau_floor_audit(cfg)
+    assert audit['floor_respected']
