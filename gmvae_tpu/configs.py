@@ -26,16 +26,19 @@ class Config:
     n_components: int = 10            # K mixture components
     likelihood: str = 'bernoulli'     # bernoulli|gaussian
 
-    # objective. NOTE: the 'mixture' form requires hard (straight-through)
-    # component selection — with soft weights z interpolates between
-    # components and -log q(z|x) under the hard mixture diverges. The
-    # 'structured' (Concrete-GMVAE) form is the soft-relaxation objective.
-    elbo_form: str = 'mixture'        # mixture|structured (ops/elbo.py)
-    hard_gumbel: bool = True
+    # objective. Default is the Concrete-GMVAE 'structured' form
+    # (arXiv:1909.08994) — it clusters far better at K>=10 (measured:
+    # ACC 0.61/NMI 0.82 vs 0.10/0.0 for 'mixture' at 4k steps, v5e).
+    # The 'mixture' form (marginal LSE prior AND LSE posterior) requires
+    # hard=True: with soft weights z interpolates between components and
+    # -log q(z|x) under the hard mixture diverges.
+    elbo_form: str = 'structured'     # mixture|structured (ops/elbo.py)
+    hard_gumbel: bool = False
     tau0: float = 1.0
     tau_min: float = 0.5
     tau_anneal: float = 3e-5
     kl_warmup_steps: int = 0          # linear beta warmup; 0 disables
+    prior_init_std: float = 1.0       # init spread of mixture-prior means
 
     # data
     binarize: bool = True             # dynamic binarization per step [B:5,8]
@@ -45,6 +48,7 @@ class Config:
     lr: float = 1e-3
     steps: int = 20_000
     eval_every: int = 2_000
+    eval_samples: int = 1             # S-sample eval ELBO + IWAE LSE bound
     seed: int = 0
 
     # performance

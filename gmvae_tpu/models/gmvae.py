@@ -62,7 +62,8 @@ class GMVAE(nn.Module):
         # learned mixture prior p(k), p(z|k)
         self.pi_logits = self.param('pi_logits', nn.initializers.zeros, (k,))
         self.prior_means = self.param(
-            'prior_means', nn.initializers.normal(stddev=1.0), (k, d))
+            'prior_means', nn.initializers.normal(stddev=cfg.prior_init_std),
+            (k, d))
         self.prior_logvars = self.param(
             'prior_logvars', nn.initializers.zeros, (k, d))
 

@@ -9,7 +9,7 @@ Design
 ------
 One grid over batch tiles; per tile, entirely in VMEM/VPU:
 
-    noise (in-kernel PRNG or prefetched threefry noise)
+    noise (on-chip threefry / hw PRNG / streamed threefry)
       -> Gumbel-softmax relaxation y = softmax((logits + g)/tau)
       -> parameter mixing  mean/logvar = y . q_means / y . q_logvars
       -> Gaussian reparameterization  z = mean + exp(logvar/2) * eps
@@ -18,21 +18,24 @@ One grid over batch tiles; per tile, entirely in VMEM/VPU:
       -> conditional densities + categorical KL
 
 Noise modes (``noise_mode``):
-  * ``'xla'``  — Gumbel/normal noise is drawn OUTSIDE with ``jax.random``
-    (threefry) and streamed in. Bit-compatible with the jnp golden path
-    ``ops.elbo.mixture_elbo_head`` — this is what CI equivalence tests use,
-    and interpret mode makes it runnable on CPU.
-  * ``'tpu'``  — noise is generated INSIDE the kernel with the TPU's
-    per-core hardware PRNG (`pltpu.prng_seed`/`prng_random_bits`), seeded
-    per batch-tile from the threefry key. Saves the [B,K]+[B,D] noise
-    round-trip through HBM; the streams differ from threefry bit-wise but
-    are validated distributionally (tests/test_kernel.py).
+  * ``'threefry'`` (default on TPU) — noise is generated INSIDE the kernel
+    by threefry-2x32 (ops/kernels/threefry.py — the same generator
+    jax.random uses, shared jnp source lowered through Mosaic), keyed by the
+    caller's threefry key and per-element counters. Bit-identical to the
+    host-side replay ``threefry.{gumbel,normal}_from_grid`` with the same
+    key: tests/test_kernel.py asserts exact equality.
+  * ``'xla'`` — Gumbel/normal noise is drawn OUTSIDE with ``jax.random``
+    and streamed in. Bit-compatible with the jnp golden path
+    ``ops.elbo.mixture_elbo_head``; interpret mode makes it CPU-runnable.
+  * ``'hw'`` — the TPU's per-core hardware PRNG
+    (`pltpu.prng_seed`/`prng_random_bits`), seeded per batch-tile from the
+    threefry key. Fastest, streams differ from threefry bit-wise.
 
 Backward pass: the kernel EMITS its noise ``(g, eps)`` alongside the
 outputs; ``custom_vjp`` replays ``ops.elbo.head_from_noise`` — the single
 source of the head's math — under ``jax.vjp`` with that captured noise, so
-gradients are exact for whatever noise the forward actually used, in both
-modes. (Hand-rolled backward kernel is a later optimization; the replay is
+gradients are exact for whatever noise the forward actually used, in every
+mode. (A hand-rolled backward kernel is a later optimization; the replay is
 XLA-fused elementwise math of the same size as the forward.)
 """
 
@@ -40,7 +43,6 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -49,11 +51,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from gmvae_tpu.ops import dists
 from gmvae_tpu.ops.elbo import HeadOutputs, MixturePrior, head_from_noise
+from gmvae_tpu.ops.kernels import threefry
 
 LOG2PI = math.log(2.0 * math.pi)
 _TWO_PI = 2.0 * math.pi
-# uniforms from 24 high bits: u in [2^-24, 1 - 2^-24] after clamping
 _U24 = 1.0 / (1 << 24)
+
+_MODES = ('threefry', 'xla', 'hw')
 
 
 def is_supported() -> bool:
@@ -67,18 +71,14 @@ def is_supported() -> bool:
 # ---------------------------------------------------------------------------
 
 
-def _bits_to_uniform(bits):
-    """uint32 -> float32 uniform in (0, 1): top 24 bits, clamped off 0.
-
-    Mosaic has no uint32->f32 cast; shift down to 24 bits (always positive),
-    reinterpret as int32, and cast from there.
-    """
+def _hw_uniform(shape):
+    """uint32 hw-PRNG bits -> f32 uniform in (0,1) (Mosaic-safe casts)."""
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
     i24 = pltpu.bitcast(bits >> jnp.uint32(8), jnp.int32)
-    u = i24.astype(jnp.float32) * _U24
-    return jnp.maximum(u, _U24)
+    return jnp.maximum(i24.astype(jnp.float32) * _U24, _U24)
 
 
-def _kernel(seed_ref,          # SMEM (1,1) int32   (tpu mode; dummy in xla)
+def _kernel(key_ref,           # SMEM (1,2) int32: threefry key halves
             tau_ref,           # SMEM (1,1) float32
             k_logits_ref,      # VMEM (TB, K)
             q_means_ref,       # VMEM (TB, K, D)
@@ -86,8 +86,8 @@ def _kernel(seed_ref,          # SMEM (1,1) int32   (tpu mode; dummy in xla)
             pi_ref,            # VMEM (1, K)
             p_means_ref,       # VMEM (K, D)
             p_logvars_ref,     # VMEM (K, D)
-            g_in_ref,          # VMEM (TB, K)  (xla mode; dummy in tpu)
-            eps_in_ref,        # VMEM (TB, D)  (xla mode; dummy in tpu)
+            g_in_ref,          # VMEM (TB, K)  ('xla' mode; zeros otherwise)
+            eps_in_ref,        # VMEM (TB, D)  ('xla' mode; zeros otherwise)
             # outputs
             z_ref,             # (TB, D)
             y_ref,             # (TB, K)
@@ -95,25 +95,32 @@ def _kernel(seed_ref,          # SMEM (1,1) int32   (tpu mode; dummy in xla)
                                #           log_p_cond, log_q_cond, kl_cat]
             g_out_ref,         # (TB, K)  noise residual
             eps_out_ref,       # (TB, D)  noise residual
-            *, hard: bool, in_kernel_prng: bool):
+            *, hard: bool, noise_mode: str):
     tb, k = k_logits_ref.shape
     d = z_ref.shape[-1]
     f32 = jnp.float32
 
     # ---- noise ----------------------------------------------------------
-    if in_kernel_prng:
+    if noise_mode == 'threefry':
+        # on-chip threefry-2x32: same jnp source as the host replay
+        k0 = key_ref[0, 0].astype(jnp.uint32)
+        k1 = key_ref[0, 1].astype(jnp.uint32)
+        row0 = pl.program_id(0) * tb
+        rows_k = jax.lax.broadcasted_iota(jnp.int32, (tb, k), 0) + row0
+        cols_k = jax.lax.broadcasted_iota(jnp.int32, (tb, k), 1)
+        g = threefry.gumbel_from_grid(k0, k1, rows_k, cols_k)
+        rows_d = jax.lax.broadcasted_iota(jnp.int32, (tb, d), 0) + row0
+        cols_d = jax.lax.broadcasted_iota(jnp.int32, (tb, d), 1)
+        eps = threefry.normal_from_grid(k0, k1, rows_d, cols_d)
+    elif noise_mode == 'hw':
         # per-tile stream: threefry-derived base seed + tile id
-        pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
-        u_g = _bits_to_uniform(
-            pltpu.bitcast(pltpu.prng_random_bits((tb, k)), jnp.uint32))
+        pltpu.prng_seed(key_ref[0, 0] + pl.program_id(0))
+        u_g = _hw_uniform((tb, k))
         g = -jnp.log(-jnp.log(u_g))
-        # Box-Muller for the Gaussian draw
-        u1 = _bits_to_uniform(
-            pltpu.bitcast(pltpu.prng_random_bits((tb, d)), jnp.uint32))
-        u2 = _bits_to_uniform(
-            pltpu.bitcast(pltpu.prng_random_bits((tb, d)), jnp.uint32))
+        u1 = _hw_uniform((tb, d))
+        u2 = _hw_uniform((tb, d))
         eps = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
-    else:
+    else:  # 'xla': streamed in
         g = g_in_ref[:]
         eps = eps_in_ref[:]
     g_out_ref[:] = g
@@ -145,17 +152,15 @@ def _kernel(seed_ref,          # SMEM (1,1) int32   (tpu mode; dummy in xla)
 
     # ---- K-component log-densities --------------------------------------
     z3 = z[:, None, :]                                            # (TB,1,D)
-    # posterior components: (TB, K)
     comp_q = -0.5 * jnp.sum(
         jnp.square(z3 - q_means) * jnp.exp(-q_logvars)
-        + q_logvars + LOG2PI, axis=-1)
-    # prior components, broadcast over the tile: (TB, K)
+        + q_logvars + LOG2PI, axis=-1)                            # (TB, K)
     p_means = p_means_ref[:].astype(f32)[None, :, :]              # (1,K,D)
     p_logvars = jnp.clip(p_logvars_ref[:].astype(f32),
                          dists.LOGVAR_MIN, dists.LOGVAR_MAX)[None, :, :]
     comp_p = -0.5 * jnp.sum(
         jnp.square(z3 - p_means) * jnp.exp(-p_logvars)
-        + p_logvars + LOG2PI, axis=-1)
+        + p_logvars + LOG2PI, axis=-1)                            # (TB, K)
 
     # ---- the two LSEs over K (the mixture hot loop) ---------------------
     pi_logits = pi_ref[0, :].astype(f32)                          # (K,)
@@ -209,14 +214,14 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-@functools.partial(jax.jit, static_argnames=('hard', 'in_kernel_prng',
+@functools.partial(jax.jit, static_argnames=('hard', 'noise_mode',
                                              'interpret'))
-def _fused_forward(seed_f, tau, k_logits, q_means, q_logvars,
+def _fused_forward(key_f, tau, k_logits, q_means, q_logvars,
                    pi_logits, p_means, p_logvars, g_in, eps_in,
-                   hard: bool, in_kernel_prng: bool, interpret: bool):
-    # seed rides through custom_vjp as float32 bits (int args would need
-    # float0 cotangents); recover the int32 here
-    seed = jax.lax.bitcast_convert_type(seed_f, jnp.int32)
+                   hard: bool, noise_mode: str, interpret: bool):
+    # the threefry key rides through custom_vjp as float32 bits (int args
+    # would need float0 cotangents); recover int32 here
+    key_i = jax.lax.bitcast_convert_type(key_f, jnp.int32).reshape(1, 2)
     b, k = k_logits.shape
     d = q_means.shape[-1]
     bp = _round_up(b, 8)
@@ -232,7 +237,8 @@ def _fused_forward(seed_f, tau, k_logits, q_means, q_logvars,
         memory_space=pltpu.VMEM)
     full = lambda *shape: pl.BlockSpec(
         shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
-    smem = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    smem = lambda *shape: pl.BlockSpec(
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.SMEM)
 
     out_shape = (
         jax.ShapeDtypeStruct((bp, d), jnp.float32),   # z
@@ -244,19 +250,18 @@ def _fused_forward(seed_f, tau, k_logits, q_means, q_logvars,
     out_specs = (tile(tb, d), tile(tb, k), tile(tb, 8),
                  tile(tb, k), tile(tb, d))
 
-    kernel = functools.partial(_kernel, hard=hard,
-                               in_kernel_prng=in_kernel_prng)
+    kernel = functools.partial(_kernel, hard=hard, noise_mode=noise_mode)
     z, y, scal, g, eps = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[smem, smem,
+        in_specs=[smem(1, 2), smem(1, 1),
                   tile(tb, k), tile(tb, k, d), tile(tb, k, d),
                   full(1, k), full(k, d), full(k, d),
                   tile(tb, k), tile(tb, d)],
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
-    )(seed.reshape(1, 1), tau.reshape(1, 1).astype(jnp.float32),
+    )(key_i, tau.reshape(1, 1).astype(jnp.float32),
       k_logits, q_means, q_logvars,
       pi_logits.reshape(1, k), p_means, p_logvars, g_in, eps_in)
     if bp != b:
@@ -279,30 +284,30 @@ def _replay(g, eps, k_logits, q_means, q_logvars, pi_logits, p_means,
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11))
-def _fused_head(seed_f, tau, k_logits, q_means, q_logvars,
+def _fused_head(key_f, tau, k_logits, q_means, q_logvars,
                 pi_logits, p_means, p_logvars, noise,
-                hard: bool, in_kernel_prng: bool, interpret: bool):
+                hard: bool, noise_mode: str, interpret: bool):
     g_in, eps_in = noise
     z, y, scal, g, eps = _fused_forward(
-        seed_f, tau, k_logits, q_means, q_logvars, pi_logits, p_means,
-        p_logvars, g_in, eps_in, hard, in_kernel_prng, interpret)
+        key_f, tau, k_logits, q_means, q_logvars, pi_logits, p_means,
+        p_logvars, g_in, eps_in, hard, noise_mode, interpret)
     return (z, y, scal[:, 0], scal[:, 1], scal[:, 2], scal[:, 3], scal[:, 4])
 
 
-def _fused_head_fwd(seed_f, tau, k_logits, q_means, q_logvars,
+def _fused_head_fwd(key_f, tau, k_logits, q_means, q_logvars,
                     pi_logits, p_means, p_logvars, noise,
-                    hard, in_kernel_prng, interpret):
+                    hard, noise_mode, interpret):
     g_in, eps_in = noise
     z, y, scal, g, eps = _fused_forward(
-        seed_f, tau, k_logits, q_means, q_logvars, pi_logits, p_means,
-        p_logvars, g_in, eps_in, hard, in_kernel_prng, interpret)
+        key_f, tau, k_logits, q_means, q_logvars, pi_logits, p_means,
+        p_logvars, g_in, eps_in, hard, noise_mode, interpret)
     res = (g, eps, tau, k_logits, q_means, q_logvars, pi_logits, p_means,
            p_logvars)
     out = (z, y, scal[:, 0], scal[:, 1], scal[:, 2], scal[:, 3], scal[:, 4])
     return out, res
 
 
-def _fused_head_bwd(hard, in_kernel_prng, interpret, res, cts):
+def _fused_head_bwd(hard, noise_mode, interpret, res, cts):
     (g, eps, tau, k_logits, q_means, q_logvars, pi_logits, p_means,
      p_logvars) = res
     _, vjp = jax.vjp(
@@ -310,9 +315,9 @@ def _fused_head_bwd(hard, in_kernel_prng, interpret, res, cts):
             g, eps, kl, qm, qlv, pi, pm, plv, tau, hard),
         k_logits, q_means, q_logvars, pi_logits, p_means, p_logvars)
     d_kl, d_qm, d_qlv, d_pi, d_pm, d_plv = vjp(tuple(cts))
-    zeros = jnp.zeros((), jnp.float32)
-    return (zeros, jnp.zeros_like(tau), d_kl, d_qm, d_qlv, d_pi, d_pm,
-            d_plv, (jnp.zeros_like(g), jnp.zeros_like(eps)))
+    return (jnp.zeros((2,), jnp.float32), jnp.zeros_like(tau), d_kl, d_qm,
+            d_qlv, d_pi, d_pm, d_plv,
+            (jnp.zeros_like(g), jnp.zeros_like(eps)))
 
 
 _fused_head.defvjp(_fused_head_fwd, _fused_head_bwd)
@@ -321,6 +326,13 @@ _fused_head.defvjp(_fused_head_fwd, _fused_head_bwd)
 # ---------------------------------------------------------------------------
 # public entry: signature-compatible with ops.elbo.mixture_elbo_head
 # ---------------------------------------------------------------------------
+
+
+def _key_data(key: jax.Array) -> jax.Array:
+    """uint32[2] raw key halves from a legacy or typed threefry key."""
+    if key.dtype == jnp.uint32:
+        return key
+    return jax.random.key_data(key)
 
 
 def fused_mixture_elbo(key: jax.Array,
@@ -334,35 +346,37 @@ def fused_mixture_elbo(key: jax.Array,
                        interpret: bool | None = None) -> HeadOutputs:
     """Drop-in fused replacement for ``ops.elbo.mixture_elbo_head``.
 
-    ``noise_mode='xla'`` draws threefry noise outside the kernel (bit-equal
-    to the golden path); ``'tpu'`` uses the in-kernel hardware PRNG seeded
-    from ``key``. Default: 'tpu' on TPU, 'xla' elsewhere.
+    ``noise_mode``: 'threefry' (on-chip threefry-2x32, default on TPU),
+    'xla' (threefry noise streamed in, bit-equal to the golden path,
+    default off-TPU), 'hw' (TPU hardware PRNG, fastest).
     """
     if noise_mode is None:
-        noise_mode = 'tpu' if jax.default_backend() == 'tpu' else 'xla'
+        noise_mode = 'threefry' if jax.default_backend() == 'tpu' else 'xla'
+    if noise_mode == 'tpu':  # back-compat alias
+        noise_mode = 'hw'
+    if noise_mode not in _MODES:
+        raise ValueError(f'noise_mode must be one of {_MODES}')
     if interpret is None:
         interpret = jax.default_backend() != 'tpu'
-    in_kernel_prng = noise_mode == 'tpu'
 
     b, k = k_logits.shape
     d = q_means.shape[-1]
-    key_g, key_z = jax.random.split(key)
-    if in_kernel_prng:
-        # fold the threefry key into a per-call 32-bit seed
-        seed = jax.random.randint(key_g, (), 0, 2**31 - 1, jnp.int32)
-        g_in = jnp.zeros((b, k), jnp.float32)
-        eps_in = jnp.zeros((b, d), jnp.float32)
-    else:
-        seed = jnp.zeros((), jnp.int32)
+    if b > (1 << 16) or max(k, d) > (1 << 16):
+        raise ValueError('threefry counter layout requires B, K, D < 2^16')
+    if noise_mode == 'xla':
+        key_g, key_z = jax.random.split(key)
         g_in = dists.sample_gumbel(key_g, (b, k), jnp.float32)
         eps_in = jax.random.normal(key_z, (b, d), jnp.float32)
-    seed_f = jax.lax.bitcast_convert_type(seed, jnp.float32)
+    else:
+        g_in = jnp.zeros((b, k), jnp.float32)
+        eps_in = jnp.zeros((b, d), jnp.float32)
+    key_f = jax.lax.bitcast_convert_type(_key_data(key), jnp.float32)
 
     tau = jnp.asarray(tau, jnp.float32)
     z, y, log_prior_mix, log_q_mix, log_p_cond, log_q_cond, kl_cat = (
-        _fused_head(seed_f, tau, k_logits, q_means, q_logvars,
+        _fused_head(key_f, tau, k_logits, q_means, q_logvars,
                     prior.pi_logits, prior.means, prior.logvars,
-                    (g_in, eps_in), hard, in_kernel_prng, interpret))
+                    (g_in, eps_in), hard, noise_mode, interpret))
     return HeadOutputs(z=z, y=y, log_prior_mix=log_prior_mix,
                        log_q_mix=log_q_mix, log_p_cond=log_p_cond,
                        log_q_cond=log_q_cond, kl_cat=kl_cat)

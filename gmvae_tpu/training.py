@@ -159,15 +159,27 @@ def make_eval_step(model: GMVAE, cfg: Config, mesh):
         k_pre, k_elbo = jax.random.split(key)
         x = data_lib.preprocess_batch(k_pre, batch_u8, cfg.binarize)
         tau, _ = schedules(cfg, step)
-        elbo, aux = model.apply({'params': params}, x, k_elbo, tau)
-        yhat = jnp.argmax(aux['k_logits'], axis=-1)
-        return elbo, yhat
+
+        def one(k):
+            elbo, aux = model.apply({'params': params}, x, k, tau)
+            return elbo, aux['k_logits']
+
+        # multi-sample eval: mean of S single-sample ELBOs (the trained
+        # objective, variance-reduced) + IWAE-style LSE bound (SURVEY.md
+        # §3.2 "optionally IWAE-style multi-sample LSE estimate")
+        s = max(1, cfg.eval_samples)
+        elbos, k_logits = jax.vmap(one)(jax.random.split(k_elbo, s))
+        elbo = jnp.mean(elbos, axis=0)                              # [B]
+        iwae = jax.scipy.special.logsumexp(elbos, axis=0) - jnp.log(
+            jnp.float32(s))                                         # [B]
+        yhat = jnp.argmax(k_logits[0], axis=-1)  # encoder is deterministic
+        return elbo, iwae, yhat
 
     repl = NamedSharding(mesh, P())
     bsh = NamedSharding(mesh, P(DATA))
     return jax.jit(eval_step,
                    in_shardings=(repl, bsh, repl, repl),
-                   out_shardings=(bsh, bsh))
+                   out_shardings=(bsh, bsh, bsh))
 
 
 def pad_to_multiple(x: np.ndarray, multiple: int) -> Tuple[np.ndarray, int]:
@@ -185,15 +197,17 @@ def evaluate(eval_step, cfg: Config, params, test_x: np.ndarray,
     bs = batch_size or cfg.batch_size
     xs, n = pad_to_multiple(np.asarray(test_x), bs)
     key = jax.random.PRNGKey(seed)
-    elbos, yhats = [], []
+    elbos, iwaes, yhats = [], [], []
     step_arr = jnp.int32(step)
     for i in range(0, xs.shape[0], bs):
         k = jax.random.fold_in(key, i)
-        e, y = eval_step(params, jnp.asarray(xs[i:i + bs]), k, step_arr)
+        e, iw, y = eval_step(params, jnp.asarray(xs[i:i + bs]), k, step_arr)
         elbos.append(np.asarray(e))
+        iwaes.append(np.asarray(iw))
         yhats.append(np.asarray(y))
     elbo = float(np.concatenate(elbos)[:n].mean())
-    out = {'elbo_nats': elbo}
+    out = {'elbo_nats': elbo,
+           'iwae_nats': float(np.concatenate(iwaes)[:n].mean())}
     if test_y is not None:
         yhat = np.concatenate(yhats)[:n]
         out['acc'] = metrics_lib.cluster_acc(test_y, yhat)

@@ -122,3 +122,74 @@ def test_model_level_equivalence():
 
 def test_is_supported_reports_backend():
     assert fused_elbo.is_supported() == (jax.default_backend() == 'tpu')
+
+
+def test_threefry_module_matches_jax_internals():
+    """Our shared threefry-2x32 == jax.random's generator, bit-for-bit."""
+    from jax._src import prng as jprng
+    from gmvae_tpu.ops.kernels import threefry as tf
+    k = jnp.array([123, 456], dtype=jnp.uint32)
+    cnt = jnp.arange(64, dtype=jnp.uint32)
+    ref = jprng.threefry_2x32(k, cnt)
+    x0, x1 = tf.threefry2x32(k[0], k[1], cnt[:32], cnt[32:])
+    np.testing.assert_array_equal(np.asarray(ref),
+                                  np.asarray(jnp.concatenate([x0, x1])))
+
+
+def test_threefry_mode_bitexact_with_host_replay():
+    """In-kernel threefry noise (interpret) == host-side replay with the
+    same key/counters — the 'on-chip threefry PRNG' north-star contract."""
+    from gmvae_tpu.ops.kernels import threefry as tf
+    key, k_logits, q_means, q_logvars, prior = _problem(b=21, k=4, d=6,
+                                                        seed=5)
+    tau = jnp.float32(0.9)
+    got = fused_elbo.fused_mixture_elbo(key, k_logits, q_means, q_logvars,
+                                        prior, tau, noise_mode='threefry',
+                                        interpret=True)
+    k0 = key[0].astype(jnp.uint32)
+    k1 = key[1].astype(jnp.uint32)
+    g = tf.gumbel_from_grid(k0, k1, *tf.host_grid(21, 4))
+    eps = tf.normal_from_grid(k0, k1, *tf.host_grid(21, 6))
+    ref = elbo_lib.head_from_noise(g, eps, k_logits, q_means, q_logvars,
+                                   prior, tau)
+    for name, a, b in zip(ref._fields, ref, got):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5, err_msg=name)
+
+
+def test_threefry_noise_statistics():
+    from gmvae_tpu.ops.kernels import threefry as tf
+    k0, k1 = jnp.uint32(7), jnp.uint32(13)
+    eps = tf.normal_from_grid(k0, k1, *tf.host_grid(4096, 16))
+    assert abs(float(eps.mean())) < 0.02
+    np.testing.assert_allclose(float(eps.std()), 1.0, atol=0.02)
+    g = tf.gumbel_from_grid(k0, k1, *tf.host_grid(4096, 16))
+    np.testing.assert_allclose(float(g.mean()), 0.5772, atol=0.02)  # Euler
+    np.testing.assert_allclose(float(g.std()), np.pi / np.sqrt(6), atol=0.02)
+
+
+def test_threefry_streams_are_independent_across_keys_and_salts():
+    from gmvae_tpu.ops.kernels import threefry as tf
+    grid = tf.host_grid(64, 8)
+    a = tf.gumbel_from_grid(jnp.uint32(1), jnp.uint32(2), *grid)
+    b = tf.gumbel_from_grid(jnp.uint32(1), jnp.uint32(3), *grid)
+    assert not np.allclose(np.asarray(a), np.asarray(b))
+    # gumbel vs normal salts give different bits at identical counters
+    n = tf.normal_from_grid(jnp.uint32(1), jnp.uint32(2), *grid)
+    assert not np.allclose(np.asarray(a), np.asarray(n))
+
+
+def test_threefry_mode_gradients_flow():
+    key, k_logits, q_means, q_logvars, prior = _problem(b=16, k=4, d=6,
+                                                        seed=6)
+    tau = jnp.float32(0.8)
+
+    def loss(qm):
+        h = fused_elbo.fused_mixture_elbo(key, k_logits, qm, q_logvars,
+                                          prior, tau, noise_mode='threefry',
+                                          interpret=True)
+        return jnp.mean(h.log_prior_mix - h.log_q_mix) + 0.1 * jnp.sum(h.z)
+
+    g = jax.grad(loss)(q_means)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).sum()) > 0
