@@ -9,16 +9,14 @@ XLA programs on device; only ``train`` involves collectives.
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gmvae_tpu import data as data_lib
 from gmvae_tpu import training as train_lib
 from gmvae_tpu.configs import Config, get_config
-from gmvae_tpu.models.gmvae import GMVAE
 from gmvae_tpu.utils import metrics as metrics_lib
 
 

@@ -39,6 +39,12 @@ class Config:
     tau_anneal: float = 3e-5
     kl_warmup_steps: int = 0          # linear beta warmup; 0 disables
     prior_init_std: float = 1.0       # init spread of mixture-prior means
+    # weight on KL(batch-mean q(k|x) || uniform): discourages merged/dead
+    # mixture components (0 disables; regularizer only, never in the
+    # reported ELBO). Measured on the MNIST-shaped 10-cluster stand-in
+    # (v5e, 4k steps): ACC 0.60->1.00, NMI 0.85->1.00, trained ELBO also
+    # improves (-227.3 -> -226.8); see BASELINE.md.
+    balance_weight: float = 5.0
 
     # data
     binarize: bool = True             # dynamic binarization per step [B:5,8]

@@ -84,6 +84,12 @@ def make_loss_fn(model: GMVAE, cfg: Config):
         kl_total = log_px_z - elbo  # whatever the elbo_form charges
         # loss anneals the KL weight; the REPORTED elbo never does
         loss = -jnp.mean(log_px_z - beta * kl_total)
+        if cfg.balance_weight > 0:
+            # cluster-balance regularizer: KL(mean_batch q(k|x) || uniform)
+            qbar = jnp.mean(jax.nn.softmax(aux['k_logits'], axis=-1), axis=0)
+            k = qbar.shape[-1]
+            balance = jnp.sum(qbar * jnp.log(qbar * k + 1e-12))
+            loss = loss + cfg.balance_weight * balance
         metrics = {
             'loss': loss,
             'elbo': jnp.mean(elbo),

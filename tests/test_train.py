@@ -92,3 +92,24 @@ def test_golden_elbo_trajectory():
     got = np.asarray(metrics['elbo'])
     want = np.asarray(golden['elbo'], np.float32)
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-3)
+
+
+def test_balance_regularizer_spreads_component_usage():
+    """With a strong balance weight, batch-mean q(k|x) approaches uniform."""
+    import gmvae_tpu.api as api
+    cfg = _tiny_cfg(steps=150, eval_every=150, ckpt_every=0,
+                    balance_weight=20.0)
+    trainer, state, _ = train_lib.fit(cfg)
+    yhat = api.cluster_assign(trainer, state, trainer.dataset.test_x[:512])
+    counts = np.bincount(yhat, minlength=cfg.n_components)
+    # both components used (no collapse)
+    assert (counts > 0.2 * counts.sum() / cfg.n_components).all(), counts
+
+
+def test_multisample_eval_reduces_variance_and_iwae_bounds():
+    cfg = _tiny_cfg(steps=60, eval_every=60, ckpt_every=0, eval_samples=8)
+    trainer, state, history = train_lib.fit(cfg)
+    row = history[-1]
+    assert 'iwae_nats' in row
+    # IWAE multi-sample bound is at least as tight as the mean ELBO
+    assert row['iwae_nats'] >= row['elbo_nats'] - 1e-4, row
