@@ -15,7 +15,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bench import run_bench  # noqa: E402
+from gmvae_tpu.benchmark import run_bench  # noqa: E402
 
 
 def main(argv=None) -> int:

@@ -9,12 +9,13 @@ Public API (BASELINE.json:5): ``train``, ``eval_elbo``, ``sample``,
 """
 
 from gmvae_tpu.api import (cluster_assign, cluster_metrics, eval_elbo,
-                           reconstruct, sample, train)
+                           latent_embed, reconstruct, sample, train)
 from gmvae_tpu.configs import CONFIGS, Config, get_config
 
 __version__ = '0.1.0'
 
 __all__ = [
     'train', 'eval_elbo', 'sample', 'reconstruct', 'cluster_assign',
-    'cluster_metrics', 'Config', 'CONFIGS', 'get_config', '__version__',
+    'cluster_metrics', 'latent_embed', 'Config', 'CONFIGS', 'get_config',
+    '__version__',
 ]

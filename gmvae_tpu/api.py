@@ -107,6 +107,28 @@ def cluster_assign(trainer: train_lib.Trainer, state: train_lib.TrainState,
     return np.concatenate(outs) if outs else np.zeros((0,), np.int32)
 
 
+def latent_embed(trainer: train_lib.Trainer, state: train_lib.TrainState,
+                 x: np.ndarray, batch_size: int = 1024):
+    """Posterior-mean latent embedding: (z [N,D], cluster probs [N,K]).
+
+    The quantity behind the reference's latent-space plots; pair with
+    ``utils.logging.save_latent_plot`` for the qualitative output."""
+    model = trainer.model
+
+    @jax.jit
+    def go(params, xb):
+        return model.apply({'params': params}, xb, method=model.latent)
+
+    x = np.asarray(x)
+    xf = x.astype(np.float32) / 255.0 if x.dtype == np.uint8 else x
+    zs, qs = [], []
+    for i in range(0, xf.shape[0], batch_size):
+        z, q = go(state.params, jnp.asarray(xf[i:i + batch_size]))
+        zs.append(np.asarray(z))
+        qs.append(np.asarray(q))
+    return np.concatenate(zs), np.concatenate(qs)
+
+
 def cluster_metrics(labels_true: np.ndarray,
                     labels_pred: np.ndarray) -> Dict[str, float]:
     """Hungarian-matched ACC + NMI on host (SURVEY.md §3.4)."""

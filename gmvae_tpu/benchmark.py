@@ -1,0 +1,74 @@
+"""Throughput benchmark core: MNIST GMVAE training images/sec/chip.
+
+North-star target: >= 50,000 images/sec/chip on TPU v5e
+(/root/repo/BASELINE.json:5; BASELINE.md). Prints exactly ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Methodology (SURVEY.md §3.5): compile (first chunk) is excluded; timing
+fences with ``block_until_ready``; throughput = trained images / wall time
+over several scan-compiled chunks, divided by local device count.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+
+def run_bench(cfg=None, steps: int = 2000, scan_steps: int = 200,
+              warmup_chunks: int = 1, quiet: bool = True):
+    import jax
+    from gmvae_tpu import configs, training as train_lib
+    from gmvae_tpu import data as data_lib
+
+    cfg = cfg or configs.mnist_k10()
+    cfg = cfg.replace(scan_steps=scan_steps, steps=steps,
+                      eval_every=10**9, ckpt_every=0)
+
+    # dataset: real MNIST when cached, else the deterministic synthetic
+    # stand-in of identical shape — identical compute either way
+    ds = data_lib.load(cfg.dataset)
+    trainer = train_lib.Trainer(cfg, ds)
+    state = trainer.init_state()
+    idx = trainer.batch_plan(scan_steps)  # one chunk's plan, reused
+
+    import numpy as np
+
+    def sync(m):
+        # device->host scalar fetch: a REAL fence. (On the axon remote
+        # platform jax.block_until_ready returns before execution finishes;
+        # the state chain means this scalar transitively forces every
+        # preceding chunk.)
+        return float(np.asarray(m['elbo'][-1]))
+
+    # warmup / compile
+    for _ in range(warmup_chunks):
+        state, m = trainer.run_chunk(state, idx)
+    sync(m)
+
+    n_chunks = max(1, steps // scan_steps)
+    t0 = time.perf_counter()
+    for _ in range(n_chunks):
+        state, m = trainer.run_chunk(state, idx)
+    sync(m)
+    dt = time.perf_counter() - t0
+
+    images = n_chunks * scan_steps * cfg.batch_size
+    n_chips = jax.local_device_count()
+    img_per_sec_chip = images / dt / n_chips
+    result = {
+        'metric': 'mnist_gmvae_train_throughput',
+        'value': round(img_per_sec_chip, 1),
+        'unit': 'images/sec/chip',
+        'vs_baseline': round(img_per_sec_chip / 50_000.0, 4),
+    }
+    if not quiet:
+        extra = {'steps': n_chunks * scan_steps, 'seconds': round(dt, 3),
+                 'chips': n_chips, 'batch': cfg.batch_size,
+                 'backend': jax.default_backend(),
+                 'final_elbo_est': float(m['elbo'][-1])}
+        print(json.dumps(extra), file=sys.stderr)
+    return result
+
+

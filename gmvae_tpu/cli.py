@@ -46,6 +46,12 @@ def build_parser() -> argparse.ArgumentParser:
     b = sub.add_parser('bench', help='training throughput benchmark')
     common(b)
     b.add_argument('--steps', type=int, default=2000)
+
+    lt = sub.add_parser('latent',
+                        help='latent-space scatter plot from checkpoint')
+    common(lt)
+    lt.add_argument('--n', type=int, default=2048)
+    lt.add_argument('--out', default=None)
     return p
 
 
@@ -60,7 +66,12 @@ def main(argv=None) -> int:
     if args.debug:
         jax.config.update('jax_debug_nans', True)
 
-    cfg = configs.get_config(args.config, **configs.parse_overrides(args.set))
+    try:
+        cfg = configs.get_config(args.config,
+                                 **configs.parse_overrides(args.set))
+    except (KeyError, ValueError) as e:
+        print(f'error: {e.args[0] if e.args else e}', file=sys.stderr)
+        return 2
 
     profile_cm = None
     if args.profile:
@@ -73,7 +84,7 @@ def main(argv=None) -> int:
                                           save_grids=args.grids)
             if history:
                 print(json.dumps(history[-1]))
-        elif args.verb in ('eval', 'sample'):
+        elif args.verb in ('eval', 'sample', 'latent'):
             trainer = train_lib.Trainer(cfg)
             state = trainer.init_state()
             run_dir = os.path.join(cfg.run_dir, cfg.name)
@@ -88,6 +99,17 @@ def main(argv=None) -> int:
                       'params', file=sys.stderr)
             if args.verb == 'eval':
                 print(json.dumps(api.eval_elbo(trainer, state)))
+            elif args.verb == 'latent':
+                from gmvae_tpu.utils.logging import save_latent_plot
+                n = min(args.n, len(trainer.dataset.test_x))
+                z, _ = api.latent_embed(trainer, state,
+                                        trainer.dataset.test_x[:n])
+                out = args.out or os.path.join(run_dir, 'latent_cli.png')
+                if save_latent_plot(out, z, trainer.dataset.test_y[:n]):
+                    print(out)
+                else:
+                    print('error: matplotlib unavailable', file=sys.stderr)
+                    return 3
             else:
                 from gmvae_tpu.utils.logging import save_image_grid
                 imgs = api.sample(trainer, state, args.n,
@@ -96,7 +118,7 @@ def main(argv=None) -> int:
                 save_image_grid(out, imgs)
                 print(out)
         elif args.verb == 'bench':
-            from bench import run_bench  # repo-root harness
+            from gmvae_tpu.benchmark import run_bench
             print(json.dumps(run_bench(cfg, steps=args.steps)))
     finally:
         if profile_cm is not None:

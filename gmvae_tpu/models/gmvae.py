@@ -132,12 +132,18 @@ class GMVAE(nn.Module):
         k_logits, _, _ = self.encode(x)
         return k_logits
 
-    def reconstruct(self, x: jax.Array) -> jax.Array:
-        """Deterministic reconstruction: soft posterior mean latent -> decode
-        -> likelihood mean (SURVEY.md §3.3)."""
+    def latent(self, x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        """Deterministic latent embedding: (posterior-mean z [B,D],
+        cluster probs q(k|x) [B,K]). The reference's latent-plot quantity."""
         k_logits, q_means, _ = self.encode(x)
         q = jax.nn.softmax(k_logits, axis=-1)
         z = jnp.einsum('bk,bkd->bd', q, q_means)
+        return z, q
+
+    def reconstruct(self, x: jax.Array) -> jax.Array:
+        """Deterministic reconstruction: soft posterior mean latent -> decode
+        -> likelihood mean (SURVEY.md §3.3)."""
+        z, _ = self.latent(x)
         like_params = self.decode(z)
         if self.cfg.likelihood == 'gaussian':
             return like_params[0]

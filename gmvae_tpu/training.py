@@ -369,3 +369,11 @@ def _save_grids(trainer: Trainer, state: TrainState, run_dir: str,
     recon = np.asarray(rec(state.params, x))
     both = np.stack([np.asarray(x), recon], 1).reshape(-1, *recon.shape[1:])
     save_image_grid(os.path.join(run_dir, f'recon_{step}.png'), both, ncol=16)
+
+    # latent scatter (reference's qualitative latent plots)
+    from gmvae_tpu import api as api_lib
+    from gmvae_tpu.utils.logging import save_latent_plot
+    n = min(2048, len(trainer.dataset.test_x))
+    z, _ = api_lib.latent_embed(trainer, state, trainer.dataset.test_x[:n])
+    save_latent_plot(os.path.join(run_dir, f'latent_{step}.png'), z,
+                     trainer.dataset.test_y[:n])

@@ -35,6 +35,38 @@ class RunLogger:
             print(f'[gmvae] {show}', flush=True)
 
 
+def save_latent_plot(path: str, z: np.ndarray, labels: Optional[np.ndarray]
+                     = None) -> bool:
+    """2-D latent scatter (PCA if D>2), colored by label/cluster.
+
+    Parity with the reference's per-epoch latent plots. Uses matplotlib when
+    present (lazy import); returns False (no file) when it is not — the
+    framework never hard-requires it.
+    """
+    try:
+        import matplotlib
+        matplotlib.use('Agg')
+        import matplotlib.pyplot as plt
+    except ImportError:
+        return False
+    z = np.asarray(z, np.float64)
+    projected = z.shape[1] > 2
+    if projected:
+        zc = z - z.mean(0)
+        _, _, vt = np.linalg.svd(zc, full_matrices=False)
+        z = zc @ vt[:2].T
+    fig, ax = plt.subplots(figsize=(6, 6), dpi=110)
+    c = None if labels is None else np.asarray(labels)
+    sc = ax.scatter(z[:, 0], z[:, 1], c=c, s=4, cmap='tab10', alpha=0.7)
+    if c is not None:
+        fig.colorbar(sc, ax=ax, shrink=0.8)
+    ax.set_title('latent space (PCA)' if projected else 'latent space')
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    fig.savefig(path, bbox_inches='tight')
+    plt.close(fig)
+    return True
+
+
 def save_image_grid(path: str, images: np.ndarray,
                     ncol: Optional[int] = None) -> None:
     """Tile ``[N, H, W, C]`` float images in [0,1] into one PNG grid.

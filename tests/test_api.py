@@ -127,3 +127,15 @@ def test_all_named_configs_construct():
         cfg = configs.get_config(name)
         assert cfg.name == name
         assert cfg.batch_size > 0 and cfg.latent_dim > 0
+
+
+def test_latent_embed_shapes_and_plot(short_run, tmp_path):
+    from gmvae_tpu.utils.logging import save_latent_plot
+    cfg, trainer, state, _ = short_run
+    z, q = api.latent_embed(trainer, state, trainer.dataset.test_x[:64])
+    assert z.shape == (64, cfg.latent_dim)
+    assert q.shape == (64, cfg.n_components)
+    np.testing.assert_allclose(q.sum(-1), 1.0, rtol=1e-5)
+    out = os.path.join(tmp_path, 'latent.png')
+    wrote = save_latent_plot(out, z, trainer.dataset.test_y[:64])
+    assert not wrote or os.path.getsize(out) > 0

@@ -77,3 +77,29 @@ def test_loader_fallback_warns_and_shapes():
     assert ds.train_x.shape[1:] == (32, 32, 3)
     assert ds.synthetic
     assert any('synthetic' in str(x.message) for x in w)
+
+
+def test_npz_local_cache_loader(tmp_path):
+    """$GMVAE_DATA_DIR/<name>.npz is preferred over network/synthetic."""
+    rng = np.random.default_rng(0)
+    train_x = rng.integers(0, 256, size=(32, 28, 28, 1), dtype=np.uint8)
+    test_x = rng.integers(0, 256, size=(8, 28, 28, 1), dtype=np.uint8)
+    np.savez(tmp_path / 'mnist.npz',
+             train_x=train_x, train_y=np.zeros(32, np.int32),
+             test_x=test_x, test_y=np.zeros(8, np.int32))
+    ds = data_lib.load('mnist', data_dir=str(tmp_path))
+    assert not ds.synthetic
+    np.testing.assert_array_equal(ds.train_x, train_x)
+    np.testing.assert_array_equal(ds.test_x, test_x)
+
+
+def test_npz_loader_grayscale_without_channel_axis(tmp_path):
+    """3-dim [N,H,W] npz images get the channel axis added."""
+    rng = np.random.default_rng(1)
+    np.savez(tmp_path / 'fmnist.npz',
+             train_x=rng.integers(0, 256, size=(16, 28, 28), dtype=np.uint8),
+             train_y=np.zeros(16, np.int32),
+             test_x=rng.integers(0, 256, size=(4, 28, 28), dtype=np.uint8),
+             test_y=np.zeros(4, np.int32))
+    ds = data_lib.load('fmnist', data_dir=str(tmp_path))
+    assert ds.train_x.shape == (16, 28, 28, 1)
