@@ -193,3 +193,44 @@ def test_threefry_mode_gradients_flow():
     g = jax.grad(loss)(q_means)
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).sum()) > 0
+
+
+def test_trainer_trajectory_fused_vs_jnp_head():
+    """10 training steps with the fused head (interpret, xla noise) track the
+    jnp-head trajectory exactly — the kernel-swap regression at the level
+    that matters (gradients through the full model + optimizer)."""
+    from functools import partial
+    from gmvae_tpu import configs
+    from gmvae_tpu import training as train_lib
+    from gmvae_tpu import data as data_lib
+    from gmvae_tpu.models.gmvae import GMVAE, init_params
+
+    cfg = configs.synthetic_tiny(batch_size=32)
+    ds = data_lib.make_synthetic(image_shape=cfg.image_shape, n_train=128,
+                                 seed=2)
+    head = partial(fused_elbo.fused_mixture_elbo, noise_mode='xla',
+                   interpret=True)
+
+    import optax
+    from gmvae_tpu.parallel import mesh as mesh_lib
+    mesh = mesh_lib.make_mesh(dp_devices=1, devices=jax.devices()[:1])
+    tx = train_lib.make_optimizer(cfg)
+    import numpy as _np
+    idx = jnp.asarray(_np.random.default_rng(0).integers(
+        0, 128, size=(10, cfg.batch_size)).astype(_np.int32))
+    x_all = jnp.asarray(ds.train_x)
+
+    results = {}
+    for name, model in (('jnp', GMVAE(cfg)), ('fused', GMVAE(cfg, head_fn=head))):
+        params = init_params(GMVAE(cfg), jax.random.PRNGKey(0))
+        state = train_lib.TrainState(params, tx.init(params), jnp.int32(0))
+        state = jax.device_put(state, mesh_lib.replicated(mesh))
+        chunk = train_lib.make_train_chunk(model, cfg, mesh, tx)
+        state, metrics = chunk(
+            state, jax.device_put(x_all, mesh_lib.replicated(mesh)),
+            jax.device_put(idx, jax.sharding.NamedSharding(
+                mesh, jax.sharding.PartitionSpec(None, mesh_lib.DATA_AXIS))),
+            jax.random.PRNGKey(1))
+        results[name] = np.asarray(metrics['elbo'])
+    np.testing.assert_allclose(results['fused'], results['jnp'],
+                               rtol=5e-5, atol=5e-4)
