@@ -1,0 +1,53 @@
+"""Quickstart: train a GMVAE, evaluate clustering, generate samples.
+
+Runs anywhere JAX runs (CPU included — this uses the CI-sized synthetic
+config so it finishes in ~2 minutes without downloads). Swap the config
+name for 'mnist_k10' etc. on real hardware/data.
+
+    python examples/quickstart.py
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+import gmvae_tpu as g  # noqa: E402
+from gmvae_tpu.utils.logging import save_image_grid, save_latent_plot  # noqa: E402
+
+
+def main():
+    out_dir = os.environ.get('GMVAE_QUICKSTART_DIR', '/tmp/gmvae_quickstart')
+
+    # 1) train — the four reference verbs start here
+    trainer, state, history = g.train('synthetic_tiny', steps=300,
+                                      eval_every=100, scan_steps=20,
+                                      run_dir=out_dir)
+    print('final eval row:', history[-1])
+
+    # 2) eval ELBO (nats) + clustering ACC/NMI on the test set
+    print('eval_elbo:', g.eval_elbo(trainer, state))
+
+    # 3) generate + reconstruct
+    imgs = g.sample(trainer, state, n=16, seed=0)
+    save_image_grid(os.path.join(out_dir, 'samples.png'), imgs)
+    recon = g.reconstruct(trainer, state, trainer.dataset.test_x[:16])
+    save_image_grid(os.path.join(out_dir, 'recon.png'), recon)
+
+    # 4) cluster assignment + metrics on raw images
+    yhat = g.cluster_assign(trainer, state, trainer.dataset.test_x[:512])
+    print('cluster_metrics:',
+          g.cluster_metrics(trainer.dataset.test_y[:512], yhat))
+
+    # 5) latent embedding scatter
+    z, probs = g.latent_embed(trainer, state, trainer.dataset.test_x[:512])
+    save_latent_plot(os.path.join(out_dir, 'latent.png'), z,
+                     trainer.dataset.test_y[:512])
+    print('artifacts in', out_dir, '->', sorted(os.listdir(out_dir)))
+    assert np.isfinite(z).all()
+
+
+if __name__ == '__main__':
+    main()

@@ -52,6 +52,7 @@ class Config:
 
     # optimization
     lr: float = 1e-3
+    grad_clip: float = 0.0            # global-norm clip; 0 disables.
     steps: int = 20_000
     eval_every: int = 2_000
     eval_samples: int = 1             # S-sample eval ELBO + IWAE LSE bound
@@ -102,7 +103,7 @@ def svhn_conv(**kw) -> Config:
         name='svhn_conv', dataset='svhn', image_shape=(32, 32, 3),
         arch='conv', enc_hidden=(64, 128, 256), dec_hidden=(256, 128, 64),
         latent_dim=128, likelihood='gaussian', binarize=False,
-        scan_steps=100,
+        scan_steps=100, grad_clip=1.0,
     ).replace(**kw)
 
 
@@ -113,7 +114,7 @@ def cifar_k20(**kw) -> Config:
         name='cifar_k20', dataset='cifar10', image_shape=(32, 32, 3),
         arch='resnet', enc_hidden=(64, 128, 256), dec_hidden=(256, 128, 64),
         latent_dim=128, n_components=20, likelihood='gaussian', binarize=False,
-        scan_steps=100,
+        scan_steps=100, grad_clip=1.0,
     ).replace(**kw)
 
 
@@ -127,6 +128,7 @@ def celeba_dp16(**kw) -> Config:
         dec_hidden=(512, 256, 128, 64),
         latent_dim=256, n_components=64, likelihood='gaussian', binarize=False,
         batch_size=1024, compute_dtype='bfloat16', scan_steps=50,
+        grad_clip=1.0,
     ).replace(**kw)
 
 

@@ -61,6 +61,12 @@ def make_model(cfg: Config) -> GMVAE:
 
 
 def make_optimizer(cfg: Config) -> optax.GradientTransformation:
+    if cfg.grad_clip > 0:
+        # conv/ResNet Gaussian-likelihood configs diverge without this on
+        # long runs (measured: cifar_k20 ELBO +3815 at 8k steps -> -1820 at
+        # 30k); MLP/Bernoulli configs are stable bare.
+        return optax.chain(optax.clip_by_global_norm(cfg.grad_clip),
+                           optax.adam(cfg.lr))
     return optax.adam(cfg.lr)
 
 
