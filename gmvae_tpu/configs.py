@@ -27,11 +27,13 @@ class Config:
     likelihood: str = 'bernoulli'     # bernoulli|gaussian
 
     # objective. Default is the Concrete-GMVAE 'structured' form
-    # (arXiv:1909.08994) — it clusters far better at K>=10 (measured:
-    # ACC 0.61/NMI 0.82 vs 0.10/0.0 for 'mixture' at 4k steps, v5e).
-    # The 'mixture' form (marginal LSE prior AND LSE posterior) requires
-    # hard=True: with soft weights z interpolates between components and
-    # -log q(z|x) under the hard mixture diverges.
+    # (arXiv:1909.08994). Measured at K=10 (4k steps, v5e, balance_weight=5):
+    # structured ACC 1.00/NMI 1.00; 'mixture'+hard ACC 0.75/NMI 0.86
+    # (without the balance regularizer both forms merge components:
+    # 0.61/0.82 and 0.10/0.0 respectively). The 'mixture' form (marginal
+    # LSE prior AND LSE posterior) requires hard=True: with soft weights z
+    # interpolates between components and -log q(z|x) under the hard
+    # mixture diverges.
     elbo_form: str = 'structured'     # mixture|structured (ops/elbo.py)
     hard_gumbel: bool = False
     tau0: float = 1.0

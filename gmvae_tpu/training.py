@@ -323,6 +323,7 @@ def fit(cfg: Config, dataset: Optional[data_lib.Dataset] = None,
     t_last = time.perf_counter()
     imgs_since = 0
     pos = 0
+    first_timing = True  # first window includes jit compile
     while pos < idx_plan.shape[0]:
         s = min(chunk, idx_plan.shape[0] - pos)
         state, _ = trainer.run_chunk(state, idx_plan[pos:pos + s])
@@ -337,6 +338,9 @@ def fit(cfg: Config, dataset: Optional[data_lib.Dataset] = None,
             dt = time.perf_counter() - t_last
             row = {'step': step_now,
                    'img_per_sec': imgs_since / max(dt, 1e-9)}
+            if first_timing:
+                row['includes_compile'] = True  # don't quote this one
+                first_timing = False
             row.update(trainer.evaluate(state))
             logger.log(row)
             history.append(row)
