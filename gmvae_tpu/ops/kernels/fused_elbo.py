@@ -307,14 +307,26 @@ def _fused_head_fwd(key_f, tau, k_logits, q_means, q_logvars,
     return out, res
 
 
+# backward implementation: 'pallas' = the hand-derived single-kernel
+# backward (ops/kernels/fused_elbo_bwd.py); 'replay' = jax.vjp of the jnp
+# head with the captured noise (the validation oracle). Both are exact.
+BWD_IMPL = 'pallas'
+
+
 def _fused_head_bwd(hard, noise_mode, interpret, res, cts):
     (g, eps, tau, k_logits, q_means, q_logvars, pi_logits, p_means,
      p_logvars) = res
-    _, vjp = jax.vjp(
-        lambda kl, qm, qlv, pi, pm, plv: _replay(
-            g, eps, kl, qm, qlv, pi, pm, plv, tau, hard),
-        k_logits, q_means, q_logvars, pi_logits, p_means, p_logvars)
-    d_kl, d_qm, d_qlv, d_pi, d_pm, d_plv = vjp(tuple(cts))
+    if BWD_IMPL == 'pallas':
+        from gmvae_tpu.ops.kernels import fused_elbo_bwd
+        d_kl, d_qm, d_qlv, d_pi, d_pm, d_plv = fused_elbo_bwd.pallas_bwd(
+            g, eps, k_logits, q_means, q_logvars, pi_logits, p_means,
+            p_logvars, tau, tuple(cts), hard=hard, interpret=interpret)
+    else:
+        _, vjp = jax.vjp(
+            lambda kl, qm, qlv, pi, pm, plv: _replay(
+                g, eps, kl, qm, qlv, pi, pm, plv, tau, hard),
+            k_logits, q_means, q_logvars, pi_logits, p_means, p_logvars)
+        d_kl, d_qm, d_qlv, d_pi, d_pm, d_plv = vjp(tuple(cts))
     return (jnp.zeros((2,), jnp.float32), jnp.zeros_like(tau), d_kl, d_qm,
             d_qlv, d_pi, d_pm, d_plv,
             (jnp.zeros_like(g), jnp.zeros_like(eps)))
