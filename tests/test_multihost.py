@@ -1,0 +1,32 @@
+"""Multi-process (simulated multi-host) DP test: 2 local processes, one
+global mesh, cross-process psum — validates init via jax.distributed,
+put_global assembly, and replicated-state consistency (SURVEY.md §5.8).
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+WORKER = os.path.join(os.path.dirname(__file__), 'multihost', 'worker.py')
+
+
+def test_two_process_dp_chunk_identical_state():
+    env = dict(os.environ)
+    env.pop('PALLAS_AXON_POOL_IPS', None)
+    env['JAX_PLATFORMS'] = 'cpu'
+    env.pop('XLA_FLAGS', None)  # 1 device per process
+    port = '12461'
+    procs = [subprocess.Popen([sys.executable, WORKER, str(i), port],
+                              stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT, env=env, text=True)
+             for i in range(2)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=240)
+        outs.append(out)
+        assert p.returncode == 0, out[-2000:]
+    for i, out in enumerate(outs):
+        assert 'params_identical=True' in out, out[-2000:]
+        assert 'elbo_identical=True' in out, out[-2000:]
