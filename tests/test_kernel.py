@@ -2,9 +2,9 @@
 
 Runs the kernel in interpret mode on CPU with 'xla' noise (threefry drawn
 outside and streamed in), which must match ``ops.elbo.mixture_elbo_head``
-bit-for-intent — forward AND gradients. The in-kernel-PRNG mode and compiled
-Mosaic path are exercised on real TPU (see bench/ and the driver's entry
-check); the parity there was verified at <1e-5 max abs diff.
+bit-for-intent — forward AND gradients. The in-kernel-PRNG modes and the
+compiled Mosaic path are exercised on real TPU (benchmarks/ and the
+driver's entry check); parity there was verified at <1e-5 max abs diff.
 """
 
 import jax
