@@ -139,3 +139,9 @@ def test_latent_embed_shapes_and_plot(short_run, tmp_path):
     out = os.path.join(tmp_path, 'latent.png')
     wrote = save_latent_plot(out, z, trainer.dataset.test_y[:64])
     assert not wrote or os.path.getsize(out) > 0
+
+
+def test_cluster_assign_empty_input(short_run):
+    _, trainer, state, _ = short_run
+    out = api.cluster_assign(trainer, state, np.zeros((0, 8, 8, 1), np.uint8))
+    assert out.shape == (0,)

@@ -100,3 +100,23 @@ def test_checked_elbo_reports_clean_on_healthy_model():
     assert all(flags.values())
     audit = tau_floor_audit(cfg)
     assert audit['floor_respected']
+
+
+def test_checked_elbo_catches_poisoned_params():
+    import jax.numpy as jnp
+    from gmvae_tpu.utils.debug import checked_elbo
+    cfg = configs.synthetic_tiny()
+    model = GMVAE(cfg)
+    params = init_params(model, jax.random.PRNGKey(0))
+    # poison the decoder output kernel with NaN
+    poisoned = jax.tree.map(lambda a: a, params)
+    leaf_path = 'decoder'
+    assert leaf_path in poisoned
+    k = list(poisoned['decoder'].keys())[0]
+    poisoned['decoder'][k]['kernel'] = (
+        poisoned['decoder'][k]['kernel'].at[0, 0].set(jnp.nan))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (4, *cfg.image_shape))
+    msg, flags = checked_elbo(model, poisoned, x, jax.random.PRNGKey(2),
+                              jnp.float32(0.7))
+    assert msg is not None            # provenance reported, not a bare NaN
+    assert not all(flags.values())
