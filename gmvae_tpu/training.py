@@ -269,8 +269,10 @@ class Trainer:
     def batch_plan(self, n_steps: int, start_step: int = 0) -> jax.Array:
         """[n_steps, B_global] device-resident batch indices, sharded for DP.
 
-        Multi-host: each process restricts indices to its own contiguous
-        data shard (SURVEY.md §5.8) — here single-host covers the whole set.
+        Multi-host (SURVEY.md §5.8): every process derives the IDENTICAL
+        plan from the config seed over the replicated dataset, and
+        ``put_global`` shards it over the global data axis — each process's
+        devices then gather only their own batch columns.
         """
         n = self.x_all.shape[0]
         plan_key = jax.random.fold_in(self.base_key, 1)
@@ -285,10 +287,10 @@ class Trainer:
 
     def evaluate(self, state: TrainState, max_examples: Optional[int] = None
                  ) -> Dict[str, float]:
-        tx, ty = self.dataset.test_x, self.dataset.test_y
+        xs, ys = self.dataset.test_x, self.dataset.test_y
         if max_examples:
-            tx, ty = tx[:max_examples], ty[:max_examples]
-        return evaluate(self.eval_step, self.cfg, state.params, tx, ty,
+            xs, ys = xs[:max_examples], ys[:max_examples]
+        return evaluate(self.eval_step, self.cfg, state.params, xs, ys,
                         int(state.step))
 
 

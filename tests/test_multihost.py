@@ -4,6 +4,7 @@ put_global assembly, and replicated-state consistency (SURVEY.md §5.8).
 """
 
 import os
+import socket
 import subprocess
 import sys
 
@@ -12,12 +13,18 @@ import pytest
 WORKER = os.path.join(os.path.dirname(__file__), 'multihost', 'worker.py')
 
 
+def _free_port() -> str:
+    with socket.socket() as s:
+        s.bind(('localhost', 0))
+        return str(s.getsockname()[1])
+
+
 def test_two_process_dp_chunk_identical_state():
     env = dict(os.environ)
     env.pop('PALLAS_AXON_POOL_IPS', None)
     env['JAX_PLATFORMS'] = 'cpu'
     env.pop('XLA_FLAGS', None)  # 1 device per process
-    port = '12461'
+    port = _free_port()
     procs = [subprocess.Popen([sys.executable, WORKER, str(i), port],
                               stdout=subprocess.PIPE,
                               stderr=subprocess.STDOUT, env=env, text=True)
