@@ -60,13 +60,19 @@ def _from_keras(name: str) -> Optional[Dataset]:
     """tf.keras.datasets loader — hits the local keras cache, downloads only
     when the environment has egress (this one does not; errors are caught)."""
     try:
+        import contextlib
+        import io
+
         import tensorflow as tf  # noqa: PLC0415 — heavyweight, import lazily
         mods = {'mnist': tf.keras.datasets.mnist,
                 'fmnist': tf.keras.datasets.fashion_mnist,
                 'cifar10': tf.keras.datasets.cifar10}
         if name not in mods:
             return None  # svhn/celeba have no keras loader
-        (tx, ty), (ex, ey) = mods[name].load_data()
+        # keras prints download progress to STDOUT; keep stdout pure (the
+        # bench harness contract is exactly one JSON line on stdout)
+        with contextlib.redirect_stdout(io.StringIO()):
+            (tx, ty), (ex, ey) = mods[name].load_data()
         return Dataset(
             name=name,
             train_x=_ensure_nhwc(tx, _SHAPES[name]),
