@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import os
 import warnings
+import zlib
 from typing import NamedTuple, Optional
 
 import numpy as np
@@ -59,6 +60,8 @@ def _from_npz(name: str, data_dir: str) -> Optional[Dataset]:
 def _from_keras(name: str) -> Optional[Dataset]:
     """tf.keras.datasets loader — hits the local keras cache, downloads only
     when the environment has egress (this one does not; errors are caught)."""
+    if name not in ('mnist', 'fmnist', 'cifar10'):
+        return None  # svhn/celeba have no keras loader; skip the tf import
     try:
         import contextlib
         import io
@@ -67,8 +70,6 @@ def _from_keras(name: str) -> Optional[Dataset]:
         mods = {'mnist': tf.keras.datasets.mnist,
                 'fmnist': tf.keras.datasets.fashion_mnist,
                 'cifar10': tf.keras.datasets.cifar10}
-        if name not in mods:
-            return None  # svhn/celeba have no keras loader
         # keras prints download progress to STDOUT; keep stdout pure (the
         # bench harness contract is exactly one JSON line on stdout)
         with contextlib.redirect_stdout(io.StringIO()):
@@ -141,7 +142,12 @@ def load(name: str, data_dir: Optional[str] = None,
         f'substituting a deterministic synthetic stand-in of the same shape',
         stacklevel=2)
     shape = _SHAPES[name]
+    # crc32, NOT hash(): Python string hashing is salted per interpreter,
+    # which would give every process a different stand-in — silently breaking
+    # put_global's identical-host-copies assumption (parallel/mesh.py) and
+    # all cross-run reproducibility of BASELINE rows.
     return make_synthetic(image_shape=shape, n_clusters=_N_CLASSES[name],
                           n_train=60_000 if shape[0] == 28 else 50_000,
-                          n_test=10_000, seed=hash(name) % (2**31),
+                          n_test=10_000,
+                          seed=zlib.crc32(name.encode()) % (2**31),
                           name=name)

@@ -79,6 +79,30 @@ def test_loader_fallback_warns_and_shapes():
     assert any('synthetic' in str(x.message) for x in w)
 
 
+def test_loader_fallback_identical_across_processes():
+    """The synthetic stand-in must be bit-identical in separate interpreters
+    (multi-host pods build it independently per process and put_global
+    assumes identical host copies — parallel/mesh.py). Guards against
+    salted-hash seeding regressions."""
+    import subprocess
+    import sys
+    code = (
+        "import warnings, zlib\n"
+        "warnings.simplefilter('ignore')\n"
+        "from gmvae_tpu.data import loaders\n"
+        # shrink the stand-in but keep load()'s seed derivation intact
+        "orig = loaders.make_synthetic\n"
+        "loaders.make_synthetic = lambda **kw: orig(\n"
+        "    **{**kw, 'n_train': 512, 'n_test': 64})\n"
+        "ds = loaders.load('svhn')\n"
+        "print(zlib.crc32(ds.train_x.tobytes()),"
+        " zlib.crc32(ds.train_y.tobytes()))\n")
+    outs = [subprocess.run([sys.executable, '-c', code], check=True,
+                           capture_output=True, text=True).stdout.strip()
+            for _ in range(2)]
+    assert outs[0] == outs[1] and outs[0]
+
+
 def test_npz_local_cache_loader(tmp_path):
     """$GMVAE_DATA_DIR/<name>.npz is preferred over network/synthetic."""
     rng = np.random.default_rng(0)
