@@ -161,15 +161,22 @@ def get_config(name: str, **kw) -> Config:
     return CONFIGS[name](**kw)
 
 
+_TUPLE_ELEM_COERCE = {int: int, float: float, str: str}
+
+
 def parse_overrides(pairs) -> dict:
-    """Parse ``key=value`` CLI overrides with dataclass-field-typed coercion."""
+    """Parse ``key=value`` CLI overrides with dataclass-field-typed coercion.
+
+    Tuple fields coerce each element by the element type of the field's
+    default (int/float/str); empty or mixed-type tuple defaults are an
+    error rather than a silent int-cast.
+    """
     fields = {f.name: f for f in dataclasses.fields(Config)}
     out = {}
     for pair in pairs or []:
         key, _, raw = pair.partition('=')
         if key not in fields:
             raise KeyError(f'unknown config field {key!r}')
-        tp = fields[key].type
         default = getattr(Config(), key)
         if isinstance(default, bool):
             out[key] = raw.lower() in ('1', 'true', 'yes')
@@ -178,8 +185,14 @@ def parse_overrides(pairs) -> dict:
         elif isinstance(default, float):
             out[key] = float(raw)
         elif isinstance(default, tuple):
-            out[key] = tuple(int(v) for v in raw.strip('()').split(',') if v)
+            elem_types = {type(v) for v in default}
+            if len(elem_types) != 1 or (coerce := _TUPLE_ELEM_COERCE.get(
+                    next(iter(elem_types)))) is None:
+                raise TypeError(
+                    f'--set cannot coerce tuple field {key!r}: default has '
+                    f'element types {sorted(t.__name__ for t in elem_types)}')
+            out[key] = tuple(coerce(v)
+                             for v in raw.strip('()').split(',') if v)
         else:
             out[key] = raw
-        del tp
     return out

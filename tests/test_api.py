@@ -122,6 +122,33 @@ def test_cli_overrides_parse():
         configs.parse_overrides(['nope=1'])
 
 
+def test_cli_overrides_tuple_coercion_by_element_type():
+    """Tuple overrides coerce by the default's element type — a future
+    float/str tuple field must not be silently int-cast."""
+    import dataclasses
+    # int tuples (the current fields) still coerce to int
+    assert configs.parse_overrides(['image_shape=(8,8,1)']) == {
+        'image_shape': (8, 8, 1)}
+
+    @dataclasses.dataclass(frozen=True)
+    class Probe(configs.Config):
+        float_tup: tuple = (0.5, 1.5)
+        str_tup: tuple = ('a', 'b')
+        mixed_tup: tuple = (1, 'a')
+
+    orig = configs.Config
+    configs.Config = Probe
+    try:
+        assert configs.parse_overrides(['float_tup=0.25,2.0']) == {
+            'float_tup': (0.25, 2.0)}
+        assert configs.parse_overrides(['str_tup=x,y']) == {
+            'str_tup': ('x', 'y')}
+        with pytest.raises(TypeError):
+            configs.parse_overrides(['mixed_tup=1,2'])
+    finally:
+        configs.Config = orig
+
+
 def test_all_named_configs_construct():
     for name in configs.CONFIGS:
         cfg = configs.get_config(name)
