@@ -6,12 +6,14 @@ methodology (compile excluded, device->host fetch as the timing fence).
 """
 
 import json
-import os
-import sys
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-
-from gmvae_tpu.benchmark import run_bench  # noqa: E402
+try:
+    from gmvae_tpu.benchmark import run_bench
+except ImportError:  # driver runs this file in place, package not installed
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from gmvae_tpu.benchmark import run_bench
 
 if __name__ == '__main__':
     print(json.dumps(run_bench()))

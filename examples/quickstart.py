@@ -8,14 +8,11 @@ name for 'mnist_k10' etc. on real hardware/data.
 """
 
 import os
-import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import numpy as np
 
-import numpy as np  # noqa: E402
-
-import gmvae_tpu as g  # noqa: E402
-from gmvae_tpu.utils.logging import save_image_grid, save_latent_plot  # noqa: E402
+import gmvae_tpu as g
+from gmvae_tpu.utils.logging import save_image_grid, save_latent_plot
 
 
 def main():

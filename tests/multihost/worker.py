@@ -15,8 +15,6 @@ import jax
 jax.distributed.initialize(coordinator_address='localhost:' + sys.argv[2],
                            num_processes=2, process_id=pid)
 import jax.numpy as jnp, numpy as np
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__)))))
 from jax.experimental import multihost_utils
 from gmvae_tpu import configs, training as train_lib
 from gmvae_tpu import data as data_lib

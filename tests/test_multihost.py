@@ -24,6 +24,10 @@ def test_two_process_dp_chunk_identical_state():
     env.pop('PALLAS_AXON_POOL_IPS', None)
     env['JAX_PLATFORMS'] = 'cpu'
     env.pop('XLA_FLAGS', None)  # 1 device per process
+    # worker imports gmvae_tpu without sys.path hacks: point it at the
+    # repo root (works both installed and in-place)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env['PYTHONPATH'] = repo_root + os.pathsep + env.get('PYTHONPATH', '')
     port = _free_port()
     procs = [subprocess.Popen([sys.executable, WORKER, str(i), port],
                               stdout=subprocess.PIPE,
