@@ -214,6 +214,22 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def vma_union(*arrays) -> frozenset:
+    """Union of varying-across-mesh axes of the args (empty outside
+    shard_map). Lets pallas_call declare output VMAs so shard_map's
+    ``check_vma=True`` replication checker accepts the kernel."""
+    out = frozenset()
+    for a in arrays:
+        out = out | getattr(jax.typeof(a), 'vma', frozenset())
+    return out
+
+
+def _pvary_to(a: jax.Array, vma: frozenset) -> jax.Array:
+    """Promote ``a`` to carry at least the given varying-across-mesh set."""
+    missing = tuple(sorted(vma - getattr(jax.typeof(a), 'vma', frozenset())))
+    return jax.lax.pvary(a, missing) if missing else a
+
+
 @functools.partial(jax.jit, static_argnames=('hard', 'noise_mode',
                                              'interpret'))
 def _fused_forward(key_f, tau, k_logits, q_means, q_logvars,
@@ -240,12 +256,14 @@ def _fused_forward(key_f, tau, k_logits, q_means, q_logvars,
     smem = lambda *shape: pl.BlockSpec(
         shape, lambda i: (0,) * len(shape), memory_space=pltpu.SMEM)
 
+    vma = vma_union(key_f, tau, k_logits, q_means, q_logvars, pi_logits,
+                    p_means, p_logvars, g_in, eps_in)
     out_shape = (
-        jax.ShapeDtypeStruct((bp, d), jnp.float32),   # z
-        jax.ShapeDtypeStruct((bp, k), jnp.float32),   # y
-        jax.ShapeDtypeStruct((bp, 8), jnp.float32),   # packed scalars
-        jax.ShapeDtypeStruct((bp, k), jnp.float32),   # g residual
-        jax.ShapeDtypeStruct((bp, d), jnp.float32),   # eps residual
+        jax.ShapeDtypeStruct((bp, d), jnp.float32, vma=vma),   # z
+        jax.ShapeDtypeStruct((bp, k), jnp.float32, vma=vma),   # y
+        jax.ShapeDtypeStruct((bp, 8), jnp.float32, vma=vma),   # packed scalars
+        jax.ShapeDtypeStruct((bp, k), jnp.float32, vma=vma),   # g residual
+        jax.ShapeDtypeStruct((bp, d), jnp.float32, vma=vma),   # eps residual
     )
     out_specs = (tile(tb, d), tile(tb, k), tile(tb, 8),
                  tile(tb, k), tile(tb, d))
@@ -327,7 +345,11 @@ def _fused_head_bwd(hard, noise_mode, interpret, res, cts):
                 g, eps, kl, qm, qlv, pi, pm, plv, tau, hard),
             k_logits, q_means, q_logvars, pi_logits, p_means, p_logvars)
         d_kl, d_qm, d_qlv, d_pi, d_pm, d_plv = vjp(tuple(cts))
-    return (jnp.zeros((2,), jnp.float32), jnp.zeros_like(tau), d_kl, d_qm,
+    # zero cotangents must carry the primal inputs' exact vma; every input
+    # was promoted to the same union in fused_mixture_elbo, and the kernel
+    # residual ``g`` carries that union
+    d_key = _pvary_to(jnp.zeros((2,), jnp.float32), vma_union(g))
+    return (d_key, jnp.zeros_like(tau), d_kl, d_qm,
             d_qlv, d_pi, d_pm, d_plv,
             (jnp.zeros_like(g), jnp.zeros_like(eps)))
 
@@ -385,9 +407,17 @@ def fused_mixture_elbo(key: jax.Array,
     key_f = jax.lax.bitcast_convert_type(_key_data(key), jnp.float32)
 
     tau = jnp.asarray(tau, jnp.float32)
+    # under shard_map with check_vma=True, promote every input to the same
+    # varying-across-mesh union so the custom_vjp's cotangent types (incl.
+    # the zero cotangents for key/tau/noise) match the primal types exactly
+    args = (key_f, tau, k_logits, q_means, q_logvars,
+            prior.pi_logits, prior.means, prior.logvars, g_in, eps_in)
+    vma = vma_union(*args)
+    (key_f, tau, k_logits, q_means, q_logvars, pi_logits, p_means,
+     p_logvars, g_in, eps_in) = (_pvary_to(a, vma) for a in args)
     z, y, log_prior_mix, log_q_mix, log_p_cond, log_q_cond, kl_cat = (
         _fused_head(key_f, tau, k_logits, q_means, q_logvars,
-                    prior.pi_logits, prior.means, prior.logvars,
+                    pi_logits, p_means, p_logvars,
                     (g_in, eps_in), hard, noise_mode, interpret))
     return HeadOutputs(z=z, y=y, log_prior_mix=log_prior_mix,
                        log_q_mix=log_q_mix, log_p_cond=log_p_cond,

@@ -392,13 +392,16 @@ def pallas_bwd(g, eps, k_logits, q_means, q_logvars, pi_logits, p_means,
     smem = pl_.BlockSpec((1, 1), lambda i: (0, 0),
                          memory_space=pltpu_.SMEM)
 
+    from gmvae_tpu.ops.kernels.fused_elbo import vma_union
+    vma = vma_union(g, eps, k_logits, q_means, q_logvars, pi_logits,
+                    p_means, p_logvars, cz, cy, cs, tau)
     out_shape = (
-        jax.ShapeDtypeStruct((bp, k), f32),      # d_kl
-        jax.ShapeDtypeStruct((bp, k, d), f32),   # d_qm
-        jax.ShapeDtypeStruct((bp, k, d), f32),   # d_qlv
-        jax.ShapeDtypeStruct((1, k), f32),       # d_pi (accumulated)
-        jax.ShapeDtypeStruct((k, d), f32),       # d_pm (accumulated)
-        jax.ShapeDtypeStruct((k, d), f32),       # d_plv (accumulated)
+        jax.ShapeDtypeStruct((bp, k), f32, vma=vma),      # d_kl
+        jax.ShapeDtypeStruct((bp, k, d), f32, vma=vma),   # d_qm
+        jax.ShapeDtypeStruct((bp, k, d), f32, vma=vma),   # d_qlv
+        jax.ShapeDtypeStruct((1, k), f32, vma=vma),       # d_pi (accumulated)
+        jax.ShapeDtypeStruct((k, d), f32, vma=vma),       # d_pm (accumulated)
+        jax.ShapeDtypeStruct((k, d), f32, vma=vma),       # d_plv (accumulated)
     )
     out_specs = (tile(tb, k), tile(tb, k, d), tile(tb, k, d),
                  full(1, k), full(k, d), full(k, d))

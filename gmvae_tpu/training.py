@@ -134,7 +134,8 @@ def make_train_step(model: GMVAE, cfg: Config,
 
 
 def make_train_chunk(model: GMVAE, cfg: Config, mesh,
-                     tx: optax.GradientTransformation):
+                     tx: optax.GradientTransformation,
+                     check_vma: bool = True):
     """jit(shard_map(scan of train steps)): the compiled hot loop.
 
     Args of the returned fn:
@@ -143,6 +144,14 @@ def make_train_chunk(model: GMVAE, cfg: Config, mesh,
       idx:      [S, B_global] int32 batch plan, sharded over the batch axis
       base_key: replicated PRNG key
     Returns (state, metrics dict of [S] arrays).
+
+    ``check_vma`` (shard_map's static replication checker) is ON by
+    default: the Pallas head declares its outputs' varying-across-mesh
+    sets via ``vma=`` on its out_shapes (fused_elbo.vma_union), so the
+    checker verifies psum placement on both fused and unfused paths.
+    Interpret-mode Pallas (CPU tests only) lowers block indexing through
+    dynamic_slice ops the checker rejects — those tests pass
+    ``check_vma=False`` explicitly.
     """
     step_fn = make_train_step(model, cfg, tx)
 
@@ -151,13 +160,10 @@ def make_train_chunk(model: GMVAE, cfg: Config, mesh,
             return step_fn(st, x_all[idx_row], base_key)
         return jax.lax.scan(body, state, idx)
 
-    # check_vma=False: the fused Pallas head's out_shapes carry no varying-
-    # across-mesh annotation, which the replication checker rejects; psum
-    # placement is validated by tests/test_dp.py instead.
     sharded = jax.shard_map(
         chunk, mesh=mesh,
         in_specs=(P(), P(), P(None, DATA), P()),
-        out_specs=(P(), P()), check_vma=False)
+        out_specs=(P(), P()), check_vma=check_vma)
     return jax.jit(sharded, donate_argnums=(0,))
 
 

@@ -225,7 +225,11 @@ def test_trainer_trajectory_fused_vs_jnp_head():
         params = init_params(GMVAE(cfg), jax.random.PRNGKey(0))
         state = train_lib.TrainState(params, tx.init(params), jnp.int32(0))
         state = jax.device_put(state, mesh_lib.replicated(mesh))
-        chunk = train_lib.make_train_chunk(model, cfg, mesh, tx)
+        # interpret-mode pallas needs the vma checker off (its block
+        # indexing lowers through dynamic_slice ops check_vma rejects);
+        # the real Mosaic path runs with the checker ON
+        chunk = train_lib.make_train_chunk(model, cfg, mesh, tx,
+                                           check_vma=(name == 'jnp'))
         state, metrics = chunk(
             state, jax.device_put(x_all, mesh_lib.replicated(mesh)),
             jax.device_put(idx, jax.sharding.NamedSharding(
