@@ -69,6 +69,14 @@ class Config:
     # v5e-16 (SURVEY.md §2.2): multi-host uses jax.distributed + process-
     # sharded data, same mesh code.
     dp_devices: int = -1
+    # 'replicated': every device holds the full uint8 dataset in HBM and
+    # gathers global batch indices (single-host default; trajectory matches
+    # the single-device run). 'sharded': the dataset is partitioned over the
+    # data axis and each shard samples batches from its own partition —
+    # HBM/host memory scales 1/n_dp, required when the dataset outgrows one
+    # chip's HBM (CelebA on a v5e-16 pod slice). Multi-host, each process
+    # feeds only its own rows (parallel/mesh.py put_sharded/process_shard).
+    data_sharding: str = 'replicated'   # replicated|sharded
 
     # io
     run_dir: str = 'runs'
@@ -130,7 +138,7 @@ def celeba_dp16(**kw) -> Config:
         dec_hidden=(512, 256, 128, 64),
         latent_dim=256, n_components=64, likelihood='gaussian', binarize=False,
         batch_size=1024, compute_dtype='bfloat16', scan_steps=50,
-        grad_clip=1.0,
+        grad_clip=1.0, data_sharding='sharded',
     ).replace(**kw)
 
 

@@ -101,6 +101,30 @@ def put_global(mesh: Mesh, spec: P, host_array) -> jax.Array:
 
 def process_shard(n: int) -> slice:
     """This host's contiguous shard of ``n`` examples for multi-host input
-    pipelines (SURVEY.md §5.8): process ``i`` of ``p`` owns ``[i*n//p, (i+1)*n//p)``."""
+    pipelines (SURVEY.md §5.8): process ``i`` of ``p`` owns ``[i*n//p, (i+1)*n//p)``.
+
+    Used by ``put_sharded`` — with ``data_sharding='sharded'`` each process
+    materializes (or reads) only its own rows of the training set.
+    """
     i, p = jax.process_index(), jax.process_count()
     return slice(i * n // p, (i + 1) * n // p)
+
+
+def put_sharded(mesh: Mesh, host_array) -> jax.Array:
+    """Build a global array sharded over the data axis (leading dim).
+
+    ``host_array`` is the GLOBAL array, identical on every process (our
+    datasets are deterministic from the config seed). Single-host this is a
+    sharded device_put; multi-host each process contributes only its
+    ``process_shard`` rows, so per-host HBM AND the assembly cost scale
+    1/process_count. The leading dim must divide by the data-axis size
+    (Trainer pads with wraparound).
+    """
+    import numpy as np
+    host_array = np.asarray(host_array)
+    sharding = NamedSharding(mesh, P(DATA_AXIS))
+    if jax.process_count() == 1:
+        return jax.device_put(host_array, sharding)
+    local = host_array[process_shard(host_array.shape[0])]
+    return jax.make_array_from_process_local_data(sharding, local,
+                                                  host_array.shape)

@@ -160,9 +160,13 @@ def make_train_chunk(model: GMVAE, cfg: Config, mesh,
             return step_fn(st, x_all[idx_row], base_key)
         return jax.lax.scan(body, state, idx)
 
+    # 'sharded': each shard_map block sees only its dataset partition and
+    # its idx columns carry LOCAL row numbers (Trainer.batch_plan builds
+    # per-shard plans); 'replicated' gathers global indices from a full copy
+    data_spec = P(DATA) if cfg.data_sharding == 'sharded' else P()
     sharded = jax.shard_map(
         chunk, mesh=mesh,
-        in_specs=(P(), P(), P(None, DATA), P()),
+        in_specs=(P(), data_spec, P(None, DATA), P()),
         out_specs=(P(), P()), check_vma=check_vma)
     return jax.jit(sharded, donate_argnums=(0,))
 
@@ -244,15 +248,27 @@ class Trainer:
         if cfg.batch_size % self.n_dp:
             raise ValueError(f'batch_size {cfg.batch_size} not divisible by '
                              f'data-parallel size {self.n_dp}')
+        if cfg.data_sharding not in ('replicated', 'sharded'):
+            raise ValueError(f'data_sharding must be replicated|sharded, '
+                             f'got {cfg.data_sharding!r}')
         self.dataset = dataset or data_lib.load(cfg.dataset)
         self.model = make_model(cfg)
         self.tx = make_optimizer(cfg)
         self.train_chunk = make_train_chunk(self.model, cfg, self.mesh, self.tx)
         self.eval_step = make_eval_step(self.model, cfg, self.mesh)
         # device-resident training images (uint8: 4x smaller than f32 in
-        # HBM); put_global keeps this multi-host-safe (SURVEY.md §5.8)
-        self.x_all = mesh_lib.put_global(self.mesh, P(),
-                                         self.dataset.train_x)
+        # HBM). 'replicated': full copy per device via put_global (multi-
+        # host-safe, SURVEY.md §5.8). 'sharded': partitioned over the data
+        # axis — 1/n_dp HBM per chip, each shard samples its own partition.
+        if cfg.data_sharding == 'sharded':
+            xs, _ = pad_to_multiple(np.asarray(self.dataset.train_x),
+                                    self.n_dp)
+            self.x_all = mesh_lib.put_sharded(self.mesh, xs)
+            self.n_local = xs.shape[0] // self.n_dp
+        else:
+            self.x_all = mesh_lib.put_global(self.mesh, P(),
+                                             self.dataset.train_x)
+            self.n_local = int(self.x_all.shape[0])
         self.base_key = jax.random.PRNGKey(cfg.seed)
 
     # -- state ----------------------------------------------------------
@@ -276,14 +292,30 @@ class Trainer:
         """[n_steps, B_global] device-resident batch indices, sharded for DP.
 
         Multi-host (SURVEY.md §5.8): every process derives the IDENTICAL
-        plan from the config seed over the replicated dataset, and
-        ``put_global`` shards it over the global data axis — each process's
-        devices then gather only their own batch columns.
+        plan from the config seed, and ``put_global`` shards it over the
+        global data axis — each process's devices then gather only their own
+        batch columns.
+
+        'replicated' data: one global permutation stream; indices are global
+        rows. 'sharded' data: shard ``s`` gets an independent permutation
+        stream over its LOCAL partition (fold_in(plan_key, s)); its column
+        block carries local row numbers, matching its x_all block.
         """
-        n = self.x_all.shape[0]
         plan_key = jax.random.fold_in(self.base_key, 1)
-        idx = data_lib.epoch_batch_indices(plan_key, n, self.cfg.batch_size,
-                                           start_step + n_steps)
+        total = start_step + n_steps
+        if self.cfg.data_sharding == 'sharded':
+            b_local = self.cfg.batch_size // self.n_dp
+            shard_keys = jax.vmap(lambda s: jax.random.fold_in(plan_key, s))(
+                jnp.arange(self.n_dp))
+            plans = jax.vmap(lambda k: data_lib.epoch_batch_indices(
+                k, self.n_local, b_local, total))(shard_keys)
+            # [n_dp, S, b_local] -> [S, n_dp*b_local], columns grouped by
+            # shard (NamedSharding partitions the axis contiguously in
+            # device order, so shard s receives exactly its own block)
+            idx = jnp.transpose(plans, (1, 0, 2)).reshape(total, -1)
+        else:
+            idx = data_lib.epoch_batch_indices(plan_key, self.n_local,
+                                               self.cfg.batch_size, total)
         idx = idx[start_step:]
         return mesh_lib.put_global(self.mesh, P(None, DATA), idx)
 

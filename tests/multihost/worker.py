@@ -44,5 +44,22 @@ same = bool(np.array_equal(gathered[0], gathered[1]))
 elbo_local = np.asarray(metrics['elbo'].addressable_shards[0].data)
 elbo_g = multihost_utils.process_allgather(elbo_local)
 same_elbo = bool(np.allclose(elbo_g[0], elbo_g[1]))
+
+# sharded-dataset path: each process contributes ONLY its process_shard rows
+# (put_sharded -> make_array_from_process_local_data), per-shard local plans
+cfg_sh = cfg.replace(data_sharding='sharded')
+tr = train_lib.Trainer(cfg_sh, ds)
+assert tr.x_all.addressable_shards[0].data.shape[0] == 128 // 2, tr.x_all
+st = tr.init_state()
+st, m_sh = tr.run_chunk(st, tr.batch_plan(2))
+leaf_sh = jax.tree.leaves(st.params)[0]
+g_sh = multihost_utils.process_allgather(
+    np.asarray(leaf_sh.addressable_shards[0].data))
+same_sh = bool(np.array_equal(g_sh[0], g_sh[1]))
+elbo_sh = np.asarray(m_sh['elbo'].addressable_shards[0].data)
+finite_sh = bool(np.isfinite(elbo_sh).all())
+
 print(f'[p{pid}] RESULT params_identical={same} elbo_identical={same_elbo} '
-      f'elbo_last={float(elbo_g[0][-1]):.4f}', flush=True)
+      f'elbo_last={float(elbo_g[0][-1]):.4f} '
+      f'sharded_params_identical={same_sh} sharded_finite={finite_sh}',
+      flush=True)

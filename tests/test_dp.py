@@ -127,6 +127,51 @@ def test_single_device_mesh_same_code_path(setup):
     assert np.isfinite(np.asarray(metrics['elbo'])).all()
 
 
+def test_sharded_dataset_trains_and_stays_replicated(setup):
+    """data_sharding='sharded': dataset partitioned over the data axis
+    (1/n_dp HBM per device), per-shard local batch plans, params still
+    replicated after psum steps."""
+    cfg, _, _, _, ds = setup
+    cfg = cfg.replace(data_sharding='sharded', dp_devices=N_DEV)
+    trainer = train_lib.Trainer(cfg, ds)
+    # dataset physically sharded: each device holds n/n_dp rows
+    assert trainer.x_all.sharding.spec == P(mesh_lib.DATA_AXIS)
+    shard_rows = trainer.x_all.addressable_shards[0].data.shape[0]
+    assert shard_rows == trainer.x_all.shape[0] // N_DEV == trainer.n_local
+
+    idx = trainer.batch_plan(4)
+    # every index is LOCAL to its shard's partition
+    assert int(jnp.max(idx)) < trainer.n_local
+    # shards draw from independent permutation streams
+    cols = np.asarray(idx).reshape(4, N_DEV, -1)
+    assert not np.array_equal(cols[:, 0], cols[:, 1])
+
+    state = trainer.init_state()
+    state, metrics = trainer.run_chunk(state, idx)
+    assert np.isfinite(np.asarray(metrics['elbo'])).all()
+    leaf = jax.tree.leaves(state.params)[0]
+    shards = [np.asarray(s.data) for s in leaf.addressable_shards]
+    for s in shards[1:]:
+        np.testing.assert_array_equal(shards[0], s)
+
+
+def test_sharded_dataset_sees_whole_dataset():
+    """Union of all shards' gathered rows covers the full (padded) dataset
+    within one epoch — partitioning must not orphan examples."""
+    cfg = configs.synthetic_tiny(batch_size=64, data_sharding='sharded',
+                                 dp_devices=N_DEV)
+    ds = data_lib.make_synthetic(image_shape=cfg.image_shape, n_train=256,
+                                 seed=5)
+    trainer = train_lib.Trainer(cfg, ds)
+    n_local = trainer.n_local                      # 256/8 = 32
+    steps_per_epoch = n_local // (cfg.batch_size // N_DEV)  # 32/8 = 4
+    idx = np.asarray(trainer.batch_plan(steps_per_epoch))
+    cols = idx.reshape(steps_per_epoch, N_DEV, -1)
+    for s in range(N_DEV):
+        got = np.sort(cols[:, s].ravel())
+        np.testing.assert_array_equal(got, np.arange(n_local))
+
+
 def test_batch_size_divisibility_enforced():
     cfg = configs.synthetic_tiny(batch_size=30, dp_devices=8)
     with pytest.raises(ValueError, match='divisible'):

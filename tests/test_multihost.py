@@ -41,3 +41,5 @@ def test_two_process_dp_chunk_identical_state():
     for i, out in enumerate(outs):
         assert 'params_identical=True' in out, out[-2000:]
         assert 'elbo_identical=True' in out, out[-2000:]
+        assert 'sharded_params_identical=True' in out, out[-2000:]
+        assert 'sharded_finite=True' in out, out[-2000:]
