@@ -17,7 +17,8 @@ import time
 
 
 def run_bench(cfg=None, steps: int = 2000, scan_steps: int = 200,
-              warmup_chunks: int = 1, quiet: bool = True):
+              warmup_chunks: int = 1, quiet: bool = True,
+              detail: bool = False):
     import jax
     from gmvae_tpu import configs, training as train_lib
     from gmvae_tpu import data as data_lib
@@ -42,10 +43,13 @@ def run_bench(cfg=None, steps: int = 2000, scan_steps: int = 200,
         # preceding chunk.)
         return float(np.asarray(m['elbo'][-1]))
 
-    # warmup / compile
+    # warmup / compile (warmup_chunks=0 deliberately times the compile —
+    # the compile-exclusion test uses it as the control)
+    m = None
     for _ in range(warmup_chunks):
         state, m = trainer.run_chunk(state, idx)
-    sync(m)
+    if m is not None:
+        sync(m)
 
     n_chunks = max(1, steps // scan_steps)
     t0 = time.perf_counter()
@@ -63,12 +67,16 @@ def run_bench(cfg=None, steps: int = 2000, scan_steps: int = 200,
         'unit': 'images/sec/chip',
         'vs_baseline': round(img_per_sec_chip / 50_000.0, 4),
     }
+    extra = {'steps': n_chunks * scan_steps, 'seconds': dt,
+             'chips': n_chips, 'batch': cfg.batch_size,
+             'backend': jax.default_backend(),
+             'final_elbo_est': float(m['elbo'][-1])}
     if not quiet:
-        extra = {'steps': n_chunks * scan_steps, 'seconds': round(dt, 3),
-                 'chips': n_chips, 'batch': cfg.batch_size,
-                 'backend': jax.default_backend(),
-                 'final_elbo_est': float(m['elbo'][-1])}
         print(json.dumps(extra), file=sys.stderr)
+    if detail:
+        # timed-window internals for the harness's own tests; NOT part of
+        # the driver's one-line schema (bench.py uses the default)
+        result['detail'] = extra
     return result
 
 

@@ -47,6 +47,18 @@ class Config:
     # (v5e, 4k steps): ACC 0.60->1.00, NMI 0.85->1.00, trained ELBO also
     # improves (-227.3 -> -226.8); see BASELINE.md.
     balance_weight: float = 5.0
+    # weight on E_x[H(q(k|x))] (assignment confidence). Together with the
+    # balance term this regularizes with the mutual information
+    # I(k;x) = H(mean_x q) - E_x[H(q)] (RIM-style). The Gaussian-likelihood
+    # conv/ResNet configs need it: their log p(x|z) scale (~1e3 nats)
+    # swamps the categorical KL, so q(k|x) stays diffuse without it
+    # (measured: svhn_conv stand-in ACC 0.61 -> see BASELINE.md r2 sweep).
+    conf_weight: float = 0.0
+    # floor on the DECODER's predicted log-variance (gaussian likelihood
+    # only; dists.LOGVAR_MIN=-12 is the numerical bound). Raising it caps
+    # how many nats per pixel reconstruction can earn, keeping the KL terms
+    # relevant; -4.6 => sigma >= 0.1.
+    dec_logvar_min: float = -12.0
 
     # data
     binarize: bool = True             # dynamic binarization per step [B:5,8]
@@ -142,6 +154,16 @@ def celeba_dp16(**kw) -> Config:
     ).replace(**kw)
 
 
+def synthetic_hard(**kw) -> Config:
+    """MNIST-architecture GMVAE on the overlapping-cluster fixture
+    (data/loaders.py make_synthetic_hard): the quality-regression
+    benchmark whose ACC/NMI are NOT saturated at 1.0 (BASELINE.md r2)."""
+    base = dict(name='synthetic_hard', dataset='synthetic_hard',
+                steps=10_000)
+    base.update(kw)
+    return mnist_k10(**base)
+
+
 def synthetic_tiny(**kw) -> Config:
     """Tiny planted-cluster config for tests/CI (SURVEY.md §4.2): 8x8 images,
     2 clusters, small MLP. Deterministic, no downloads."""
@@ -159,6 +181,7 @@ CONFIGS = {
     'svhn_conv': svhn_conv,
     'cifar_k20': cifar_k20,
     'celeba_dp16': celeba_dp16,
+    'synthetic_hard': synthetic_hard,
     'synthetic_tiny': synthetic_tiny,
 }
 

@@ -87,29 +87,40 @@ def _from_keras(name: str) -> Optional[Dataset]:
 
 def make_synthetic(image_shape=(8, 8, 1), n_clusters: int = 2,
                    n_train: int = 4096, n_test: int = 1024,
-                   seed: int = 0, name: str = 'synthetic') -> Dataset:
+                   seed: int = 0, name: str = 'synthetic',
+                   separation: float = 1.0,
+                   noise_std: float = 0.08) -> Dataset:
     """Deterministic planted-cluster image dataset (SURVEY.md §4.2).
 
     Each cluster has a smooth random prototype image; samples are the
-    prototype plus pixel noise, quantized to uint8. Recoverable by any sane
-    clustering model — the integration tests demand ACC > 0.95 on it.
+    prototype plus pixel noise, quantized to uint8. At the defaults
+    (``separation=1``) clusters are saturated and trivially separable —
+    the integration tests demand ACC > 0.95 on it. Lower ``separation``
+    (prototype contrast scale) and higher ``noise_std`` overlap the
+    clusters so quality metrics are NOT ceiling-saturated: the
+    'synthetic_hard' benchmark fixture uses this to guard clustering
+    regressions a 1.00-ACC fixture cannot see.
     """
     rng = np.random.default_rng(seed)
     h, w, c = image_shape
-    # smooth prototypes: low-frequency random fields, well separated
+    # smooth prototypes: low-frequency random fields
     protos = []
     for k in range(n_clusters):
         low = rng.uniform(0, 1, size=(max(2, h // 4), max(2, w // 4), c))
         up = np.kron(low, np.ones((h // low.shape[0] + 1,
                                    w // low.shape[1] + 1, 1)))[:h, :w, :]
-        # push towards saturation so clusters differ strongly
-        proto = (up > 0.5).astype(np.float64) * 0.85 + 0.075
+        bits = (up > 0.5).astype(np.float64)
+        if separation == 1.0:
+            # keep the EXACT round-1 formula (bit-stable stand-ins)
+            proto = bits * 0.85 + 0.075
+        else:
+            proto = 0.5 + (bits - 0.5) * 0.85 * separation
         protos.append(proto)
     protos = np.stack(protos)  # [K, H, W, C]
 
     def draw(n, rng):
         ys = rng.integers(0, n_clusters, size=n)
-        noise = rng.normal(0, 0.08, size=(n, h, w, c))
+        noise = rng.normal(0, noise_std, size=(n, h, w, c))
         xs = np.clip(protos[ys] + noise, 0, 1)
         return (xs * 255).astype(np.uint8), ys.astype(np.int32)
 
@@ -119,12 +130,31 @@ def make_synthetic(image_shape=(8, 8, 1), n_clusters: int = 2,
                    test_x=test_x, test_y=test_y, synthetic=True)
 
 
+def make_synthetic_hard(seed: int = 77) -> Dataset:
+    """MNIST-shaped overlapping-cluster benchmark fixture.
+
+    Deliberately NOT ceiling-saturated: prototypes at 8% contrast with 3x
+    the pixel noise put the Bayes-optimal (true-centroid) classifier at
+    ~0.96 ACC, so a trained unsupervised GMVAE lands meaningfully below
+    1.0 and quality regressions are visible (BASELINE.md r2; the
+    trivially-separable stand-ins clamp at 1.00 where a metric can't
+    move). Parameters frozen — changing them invalidates the recorded
+    baseline row and the golden trajectory."""
+    return make_synthetic(image_shape=(28, 28, 1), n_clusters=10,
+                          n_train=60_000, n_test=10_000, seed=seed,
+                          name='synthetic_hard',
+                          separation=0.08, noise_std=0.25)
+
+
 def load(name: str, data_dir: Optional[str] = None,
          allow_synthetic_fallback: bool = True) -> Dataset:
     """Load a dataset by BASELINE config name (mnist|fmnist|svhn|cifar10|
-    celeba|synthetic), trying local npz -> keras cache -> synthetic."""
+    celeba|synthetic|synthetic_hard), trying local npz -> keras cache ->
+    synthetic."""
     if name == 'synthetic':
         return make_synthetic()
+    if name == 'synthetic_hard':
+        return make_synthetic_hard()
     if name not in _SHAPES:
         raise KeyError(f'unknown dataset {name!r}')
 

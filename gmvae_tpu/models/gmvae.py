@@ -82,11 +82,14 @@ class GMVAE(nn.Module):
 
     def decode(self, z: jax.Array):
         """z -> likelihood params: logits [B,*img] (bernoulli) or
-        (mean, logvar) each [B,*img] (gaussian)."""
+        (mean, logvar) each [B,*img] (gaussian). ``cfg.dec_logvar_min``
+        floors the predicted log-variance (see configs.Config)."""
         out = self.decoder(z)
         if self.cfg.likelihood == 'gaussian':
             mean, logvar = jnp.split(out, 2, axis=-1)
-            return mean, dists.clamp_logvar(logvar)
+            logvar = jnp.clip(logvar, self.cfg.dec_logvar_min,
+                              dists.LOGVAR_MAX)
+            return mean, logvar
         return out
 
     def prior(self) -> MixturePrior:

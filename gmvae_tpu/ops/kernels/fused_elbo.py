@@ -31,12 +31,19 @@ Noise modes (``noise_mode``):
     (`pltpu.prng_seed`/`prng_random_bits`), seeded per batch-tile from the
     threefry key. Fastest, streams differ from threefry bit-wise.
 
-Backward pass: the kernel EMITS its noise ``(g, eps)`` alongside the
-outputs; ``custom_vjp`` replays ``ops.elbo.head_from_noise`` — the single
-source of the head's math — under ``jax.vjp`` with that captured noise, so
-gradients are exact for whatever noise the forward actually used, in every
-mode. (A hand-rolled backward kernel is a later optimization; the replay is
-XLA-fused elementwise math of the same size as the forward.)
+Backward pass (``custom_vjp``, single hand-derived Pallas kernel in
+ops/kernels/fused_elbo_bwd.py): noise handling is mode-dependent —
+  * ``'threefry'`` — NO noise residuals. The noise is a counter-based pure
+    function of (key, element index), so the backward kernel regenerates
+    bit-identical bits on-chip instead of round-tripping [B,K]+[B,D] arrays
+    through HBM every step (this is what makes the fused path faster than
+    the XLA-fused jnp head, not just equal to it).
+  * ``'xla'`` — the caller's streamed-in noise arrays ARE the residuals.
+  * ``'hw'`` — the kernel emits its noise as residual outputs (the hw PRNG
+    stream is per-tile sequential, not element-counter replayable).
+A jnp-replay backward (``jax.vjp`` of ``ops.elbo.head_from_noise``, the
+single source of the head's math) remains available as the validation
+oracle via ``BWD_IMPL = 'replay'``.
 """
 
 from __future__ import annotations
@@ -78,6 +85,43 @@ def _hw_uniform(shape):
     return jnp.maximum(i24.astype(jnp.float32) * _U24, _U24)
 
 
+def _tile_threefry_noise(key_ref, tb: int, k: int, d: int):
+    """On-chip threefry-2x32 Gumbel/normal noise for one batch tile.
+
+    Counters derive from (key, global row, col) with a per-stream salt, so
+    the SAME function call from the backward kernel — or the host replay in
+    ops/kernels/threefry.py — regenerates bit-identical noise. This is what
+    lets the threefry fast path skip noise residuals entirely.
+
+    Both streams ride ONE 20-round threefry pass over a (tb, k+d) grid
+    instead of two separately lane-padded passes (k+d = 20 -> one VPU lane
+    block for the MNIST config, vs two padded blocks two-pass): the gumbel
+    columns carry counters (row, col<k, SALT_GUMBEL) and the normal columns
+    (row, col-k, SALT_NORMAL) — exactly the counters the two-pass host
+    replay uses, so bits are unchanged.
+    """
+    k0 = key_ref[0, 0].astype(jnp.uint32)
+    k1 = key_ref[0, 1].astype(jnp.uint32)
+    row0 = pl.program_id(0) * tb
+    n = k + d
+    rows = jax.lax.broadcasted_iota(jnp.int32, (tb, n), 0) + row0
+    col = jax.lax.broadcasted_iota(jnp.int32, (tb, n), 1)
+    is_g = col < k
+    cols = jnp.where(is_g, col, col - k)
+    c0 = ((rows.astype(jnp.uint32) << jnp.uint32(16))
+          | cols.astype(jnp.uint32))
+    c1 = jnp.where(is_g, jnp.uint32(threefry.SALT_GUMBEL),
+                   jnp.uint32(threefry.SALT_NORMAL))
+    x0, x1 = threefry.threefry2x32(k0, k1, c0, c1)
+    u0 = threefry.bits_to_uniform_i32((x0 >> jnp.uint32(8)).astype(jnp.int32))
+    g = -jnp.log(-jnp.log(u0[:, :k]))
+    u1 = u0[:, k:]
+    u2 = threefry.bits_to_uniform_i32(
+        (x1 >> jnp.uint32(8)).astype(jnp.int32))[:, k:]
+    eps = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
+    return g, eps
+
+
 def _kernel(key_ref,           # SMEM (1,2) int32: threefry key halves
             tau_ref,           # SMEM (1,1) float32
             k_logits_ref,      # VMEM (TB, K)
@@ -86,45 +130,44 @@ def _kernel(key_ref,           # SMEM (1,2) int32: threefry key halves
             pi_ref,            # VMEM (1, K)
             p_means_ref,       # VMEM (K, D)
             p_logvars_ref,     # VMEM (K, D)
-            g_in_ref,          # VMEM (TB, K)  ('xla' mode; zeros otherwise)
-            eps_in_ref,        # VMEM (TB, D)  ('xla' mode; zeros otherwise)
-            # outputs
-            z_ref,             # (TB, D)
-            y_ref,             # (TB, K)
-            scal_ref,          # (TB, 8): [log_prior_mix, log_q_mix,
-                               #           log_p_cond, log_q_cond, kl_cat]
-            g_out_ref,         # (TB, K)  noise residual
-            eps_out_ref,       # (TB, D)  noise residual
-            *, hard: bool, noise_mode: str):
+            *rest,             # ['xla': g_in (TB,K), eps_in (TB,D)]
+                               # outputs: z (TB,D), y (TB,K), scal (TB,8)
+                               # ['hw': g_out (TB,K), eps_out (TB,D)]
+            hard: bool, noise_mode: str):
+    refs = list(rest)
+    g_in_ref = eps_in_ref = None
+    if noise_mode == 'xla':
+        g_in_ref, eps_in_ref = refs[:2]
+        refs = refs[2:]
+    z_ref, y_ref, scal_ref = refs[:3]
+    noise_out = refs[3:]
+
     tb, k = k_logits_ref.shape
     d = z_ref.shape[-1]
     f32 = jnp.float32
 
     # ---- noise ----------------------------------------------------------
     if noise_mode == 'threefry':
-        # on-chip threefry-2x32: same jnp source as the host replay
-        k0 = key_ref[0, 0].astype(jnp.uint32)
-        k1 = key_ref[0, 1].astype(jnp.uint32)
-        row0 = pl.program_id(0) * tb
-        rows_k = jax.lax.broadcasted_iota(jnp.int32, (tb, k), 0) + row0
-        cols_k = jax.lax.broadcasted_iota(jnp.int32, (tb, k), 1)
-        g = threefry.gumbel_from_grid(k0, k1, rows_k, cols_k)
-        rows_d = jax.lax.broadcasted_iota(jnp.int32, (tb, d), 0) + row0
-        cols_d = jax.lax.broadcasted_iota(jnp.int32, (tb, d), 1)
-        eps = threefry.normal_from_grid(k0, k1, rows_d, cols_d)
+        # on-chip, replayable from (key, element index): NO residuals — the
+        # backward kernel regenerates the identical bits instead of round-
+        # tripping [B,K]+[B,D] noise through HBM every step
+        g, eps = _tile_threefry_noise(key_ref, tb, k, d)
     elif noise_mode == 'hw':
-        # per-tile stream: threefry-derived base seed + tile id
+        # per-tile stream: threefry-derived base seed + tile id. NOT a
+        # counter-based pure function of the element index, so the noise IS
+        # emitted as residuals for the backward pass.
         pltpu.prng_seed(key_ref[0, 0] + pl.program_id(0))
         u_g = _hw_uniform((tb, k))
         g = -jnp.log(-jnp.log(u_g))
         u1 = _hw_uniform((tb, d))
         u2 = _hw_uniform((tb, d))
         eps = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
-    else:  # 'xla': streamed in
+    else:  # 'xla': streamed in (residuals are the caller's own noise arrays)
         g = g_in_ref[:]
         eps = eps_in_ref[:]
-    g_out_ref[:] = g
-    eps_out_ref[:] = eps
+    if noise_out:
+        noise_out[0][:] = g
+        noise_out[1][:] = eps
 
     tau = tau_ref[0, 0]
     k_logits = k_logits_ref[:].astype(f32)
@@ -194,6 +237,154 @@ def _kernel(key_ref,           # SMEM (1,2) int32: threefry key halves
 
 
 # ---------------------------------------------------------------------------
+# flat-layout kernel: [TB, K*D] elementwise + selector-matmul reductions
+# ---------------------------------------------------------------------------
+#
+# When D < 128 the (TB, K, D) layout uses D/128 of each VPU lane block —
+# ~8% for the MNIST config — while XLA's own fusion of the jnp head runs
+# the same math on dim-merged layouts at full lane width. The flat variant
+# recovers that: every [B,K,D] tensor lives as (TB, N=K*D) (a free reshape
+# outside the kernel), elementwise ops run at N/roundup(N,128) lane use,
+# and the K/D-axis reductions/broadcasts become tiny MXU matmuls against
+# 0/1 selector matrices generated in-kernel from iota:
+#   E  (K,N): E[k,n]  = [n//D == k]   y_exp   = y @ E
+#   Et (N,K): E^T                      sum_d   = t @ Et
+#   P  (N,D): P[n,d]  = [n%D == d]    sum_k   = t @ P
+#   Pt (D,N): P^T                      z_exp   = z @ Pt
+# Selected automatically for D < 128 and N <= _FLAT_MAX_N (the 3-D layout
+# is already lane-full at D >= 128, and selector matrices for CelebA-scale
+# N would not fit VMEM).
+
+_FLAT_MAX_N = 2048
+
+
+def use_flat_layout(k: int, d: int) -> bool:
+    return d < 128 and k * d <= _FLAT_MAX_N
+
+
+def _selectors(k: int, d: int):
+    """In-kernel 0/1 selector matrices (f32) for flat-layout reductions."""
+    n = k * d
+    nk_row = jax.lax.broadcasted_iota(jnp.int32, (k, n), 0)
+    nk_col = jax.lax.broadcasted_iota(jnp.int32, (k, n), 1)
+    e = (nk_col // d == nk_row).astype(jnp.float32)          # (K, N)
+    et = (jax.lax.broadcasted_iota(jnp.int32, (n, k), 0) // d
+          == jax.lax.broadcasted_iota(jnp.int32, (n, k), 1)
+          ).astype(jnp.float32)                              # (N, K)
+    p = (jax.lax.broadcasted_iota(jnp.int32, (n, d), 0) % d
+         == jax.lax.broadcasted_iota(jnp.int32, (n, d), 1)
+         ).astype(jnp.float32)                               # (N, D)
+    pt = (jax.lax.broadcasted_iota(jnp.int32, (d, n), 1) % d
+          == jax.lax.broadcasted_iota(jnp.int32, (d, n), 0)
+          ).astype(jnp.float32)                              # (D, N)
+    return e, et, p, pt
+
+
+def _dot(a, b):
+    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+
+def _kernel_flat(key_ref,          # SMEM (1,2) int32
+                 tau_ref,          # SMEM (1,1) f32
+                 k_logits_ref,     # VMEM (TB, K)
+                 qm_ref,           # VMEM (TB, N)  flattened q_means
+                 qlv_ref,          # VMEM (TB, N)
+                 pi_ref,           # VMEM (1, K)
+                 pm_ref,           # VMEM (1, N)   flattened prior means
+                 plv_ref,          # VMEM (1, N)
+                 *rest, k: int, d: int, hard: bool, noise_mode: str):
+    refs = list(rest)
+    g_in_ref = eps_in_ref = None
+    if noise_mode == 'xla':
+        g_in_ref, eps_in_ref = refs[:2]
+        refs = refs[2:]
+    z_ref, y_ref, scal_ref = refs[:3]
+    noise_out = refs[3:]
+
+    tb = k_logits_ref.shape[0]
+    f32 = jnp.float32
+
+    if noise_mode == 'threefry':
+        g, eps = _tile_threefry_noise(key_ref, tb, k, d)
+    elif noise_mode == 'hw':
+        pltpu.prng_seed(key_ref[0, 0] + pl.program_id(0))
+        u_g = _hw_uniform((tb, k))
+        g = -jnp.log(-jnp.log(u_g))
+        u1 = _hw_uniform((tb, d))
+        u2 = _hw_uniform((tb, d))
+        eps = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
+    else:
+        g = g_in_ref[:]
+        eps = eps_in_ref[:]
+    if noise_out:
+        noise_out[0][:] = g
+        noise_out[1][:] = eps
+
+    tau = tau_ref[0, 0]
+    k_logits = k_logits_ref[:].astype(f32)
+    e, et, p, pt = _selectors(k, d)
+
+    # Gumbel-softmax relaxation
+    pert = (k_logits + g) / tau
+    pert = pert - jnp.max(pert, axis=-1, keepdims=True)
+    ey = jnp.exp(pert)
+    y = ey / jnp.sum(ey, axis=-1, keepdims=True)
+    if hard:
+        am = jnp.argmax(y, axis=-1)
+        col = jax.lax.broadcasted_iota(jnp.int32, (tb, k), 1)
+        y = jnp.where(col == am[:, None], f32(1.0), f32(0.0))
+    y_ref[:] = y
+
+    qm = qm_ref[:].astype(f32)                                # (TB, N)
+    qlv = jnp.clip(qlv_ref[:].astype(f32),
+                   dists.LOGVAR_MIN, dists.LOGVAR_MAX)
+    y_exp = _dot(y, e)                                        # (TB, N)
+    mean = _dot(y_exp * qm, p)                                # (TB, D)
+    logvar = _dot(y_exp * qlv, p)                             # (TB, D)
+    z = mean + jnp.exp(0.5 * logvar) * eps
+    z_ref[:] = z
+
+    z_exp = _dot(z, pt)                                       # (TB, N)
+    dq = z_exp - qm
+    tq = dq * dq * jnp.exp(-qlv) + qlv
+    comp_q = -0.5 * (_dot(tq, et) + d * LOG2PI)               # (TB, K)
+    pm = pm_ref[:].astype(f32)                                # (1, N)
+    plv = jnp.clip(plv_ref[:].astype(f32),
+                   dists.LOGVAR_MIN, dists.LOGVAR_MAX)        # (1, N)
+    dp = z_exp - pm
+    tp = dp * dp * jnp.exp(-plv) + plv
+    comp_p = -0.5 * (_dot(tp, et) + d * LOG2PI)               # (TB, K)
+
+    pi_logits = pi_ref[0, :].astype(f32)
+    log_pi = pi_logits - jax.nn.logsumexp(pi_logits)
+    log_qk = k_logits - jax.nn.logsumexp(k_logits, axis=-1, keepdims=True)
+
+    a_p = log_pi[None, :] + comp_p
+    m_p = jnp.max(a_p, axis=-1, keepdims=True)
+    log_prior_mix = (m_p + jnp.log(jnp.sum(jnp.exp(a_p - m_p), axis=-1,
+                                           keepdims=True)))[:, 0]
+    a_q = log_qk + comp_q
+    m_q = jnp.max(a_q, axis=-1, keepdims=True)
+    log_q_mix = (m_q + jnp.log(jnp.sum(jnp.exp(a_q - m_q), axis=-1,
+                                       keepdims=True)))[:, 0]
+
+    pmean = _dot(y_exp * pm, p)                               # (TB, D)
+    plv_mix = _dot(y_exp * plv, p)                            # (TB, D)
+    log_p_cond = -0.5 * jnp.sum(
+        jnp.square(z - pmean) * jnp.exp(-plv_mix) + plv_mix + LOG2PI,
+        axis=-1)
+    log_q_cond = -0.5 * jnp.sum(
+        jnp.square(z - mean) * jnp.exp(-logvar) + logvar + LOG2PI, axis=-1)
+    qk = jnp.exp(log_qk)
+    kl_cat = jnp.sum(qk * (log_qk - log_pi[None, :]), axis=-1)
+
+    scal = jnp.stack([log_prior_mix, log_q_mix, log_p_cond, log_q_cond,
+                      kl_cat], axis=-1)
+    pad = jnp.zeros((tb, 3), f32)
+    scal_ref[:] = jnp.concatenate([scal, pad], axis=-1)
+
+
+# ---------------------------------------------------------------------------
 # pallas_call wrapper
 # ---------------------------------------------------------------------------
 
@@ -220,7 +411,8 @@ def vma_union(*arrays) -> frozenset:
     ``check_vma=True`` replication checker accepts the kernel."""
     out = frozenset()
     for a in arrays:
-        out = out | getattr(jax.typeof(a), 'vma', frozenset())
+        if a is not None:
+            out = out | getattr(jax.typeof(a), 'vma', frozenset())
     return out
 
 
@@ -243,8 +435,10 @@ def _fused_forward(key_f, tau, k_logits, q_means, q_logvars,
     bp = _round_up(b, 8)
     if bp != b:
         padb = lambda a: jnp.pad(a, ((0, bp - b),) + ((0, 0),) * (a.ndim - 1))
-        k_logits, q_means, q_logvars, g_in, eps_in = map(
-            padb, (k_logits, q_means, q_logvars, g_in, eps_in))
+        k_logits, q_means, q_logvars = map(padb, (k_logits, q_means,
+                                                  q_logvars))
+        if noise_mode == 'xla':
+            g_in, eps_in = map(padb, (g_in, eps_in))
     tb = _pick_tile(bp, k, d)
     grid = (bp // tb,)
 
@@ -258,32 +452,63 @@ def _fused_forward(key_f, tau, k_logits, q_means, q_logvars,
 
     vma = vma_union(key_f, tau, k_logits, q_means, q_logvars, pi_logits,
                     p_means, p_logvars, g_in, eps_in)
-    out_shape = (
+    # noise residual traffic is mode-dependent (module docstring):
+    #   threefry — NONE (backward regenerates bit-identical noise on-chip)
+    #   xla      — none from the kernel (the streamed-in arrays ARE the
+    #              residuals); they are also kernel inputs
+    #   hw       — emitted (hw PRNG is not element-counter replayable)
+    emit_noise = noise_mode == 'hw'
+    flat = use_flat_layout(k, d)
+    if flat:
+        n = k * d
+        in_specs = [smem(1, 2), smem(1, 1),
+                    tile(tb, k), tile(tb, n), tile(tb, n),
+                    full(1, k), full(1, n), full(1, n)]
+        operands = [key_i, tau.reshape(1, 1).astype(jnp.float32),
+                    k_logits, q_means.reshape(bp, n),
+                    q_logvars.reshape(bp, n),
+                    pi_logits.reshape(1, k), p_means.reshape(1, n),
+                    p_logvars.reshape(1, n)]
+    else:
+        in_specs = [smem(1, 2), smem(1, 1),
+                    tile(tb, k), tile(tb, k, d), tile(tb, k, d),
+                    full(1, k), full(k, d), full(k, d)]
+        operands = [key_i, tau.reshape(1, 1).astype(jnp.float32),
+                    k_logits, q_means, q_logvars,
+                    pi_logits.reshape(1, k), p_means, p_logvars]
+    if noise_mode == 'xla':
+        in_specs += [tile(tb, k), tile(tb, d)]
+        operands += [g_in, eps_in]
+    out_shape = [
         jax.ShapeDtypeStruct((bp, d), jnp.float32, vma=vma),   # z
         jax.ShapeDtypeStruct((bp, k), jnp.float32, vma=vma),   # y
         jax.ShapeDtypeStruct((bp, 8), jnp.float32, vma=vma),   # packed scalars
-        jax.ShapeDtypeStruct((bp, k), jnp.float32, vma=vma),   # g residual
-        jax.ShapeDtypeStruct((bp, d), jnp.float32, vma=vma),   # eps residual
-    )
-    out_specs = (tile(tb, d), tile(tb, k), tile(tb, 8),
-                 tile(tb, k), tile(tb, d))
+    ]
+    out_specs = [tile(tb, d), tile(tb, k), tile(tb, 8)]
+    if emit_noise:
+        out_shape += [jax.ShapeDtypeStruct((bp, k), jnp.float32, vma=vma),
+                      jax.ShapeDtypeStruct((bp, d), jnp.float32, vma=vma)]
+        out_specs += [tile(tb, k), tile(tb, d)]
 
-    kernel = functools.partial(_kernel, hard=hard, noise_mode=noise_mode)
-    z, y, scal, g, eps = pl.pallas_call(
+    if flat:
+        kernel = functools.partial(_kernel_flat, k=k, d=d, hard=hard,
+                                   noise_mode=noise_mode)
+    else:
+        kernel = functools.partial(_kernel, hard=hard, noise_mode=noise_mode)
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[smem(1, 2), smem(1, 1),
-                  tile(tb, k), tile(tb, k, d), tile(tb, k, d),
-                  full(1, k), full(k, d), full(k, d),
-                  tile(tb, k), tile(tb, d)],
-        out_specs=out_specs,
-        out_shape=out_shape,
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         interpret=interpret,
-    )(key_i, tau.reshape(1, 1).astype(jnp.float32),
-      k_logits, q_means, q_logvars,
-      pi_logits.reshape(1, k), p_means, p_logvars, g_in, eps_in)
+    )(*operands)
     if bp != b:
-        z, y, scal, g, eps = (a[:b] for a in (z, y, scal, g, eps))
+        outs = tuple(a[:b] for a in outs)
+    if emit_noise:
+        z, y, scal, g, eps = outs
+    else:
+        (z, y, scal), g, eps = outs, None, None
     return z, y, scal, g, eps
 
 
@@ -319,8 +544,16 @@ def _fused_head_fwd(key_f, tau, k_logits, q_means, q_logvars,
     z, y, scal, g, eps = _fused_forward(
         key_f, tau, k_logits, q_means, q_logvars, pi_logits, p_means,
         p_logvars, g_in, eps_in, hard, noise_mode, interpret)
-    res = (g, eps, tau, k_logits, q_means, q_logvars, pi_logits, p_means,
-           p_logvars)
+    if noise_mode == 'threefry':
+        # counter-based noise: regenerated in the backward from (key, index)
+        res_noise = (None, None)
+    elif noise_mode == 'xla':
+        # the streamed-in arrays are the residuals — nothing new to store
+        res_noise = (g_in, eps_in)
+    else:  # hw: kernel-emitted residuals
+        res_noise = (g, eps)
+    res = (*res_noise, key_f, tau, k_logits, q_means, q_logvars, pi_logits,
+           p_means, p_logvars)
     out = (z, y, scal[:, 0], scal[:, 1], scal[:, 2], scal[:, 3], scal[:, 4])
     return out, res
 
@@ -331,27 +564,49 @@ def _fused_head_fwd(key_f, tau, k_logits, q_means, q_logvars,
 BWD_IMPL = 'pallas'
 
 
+def _host_replay_noise(key_f, b: int, k: int, d: int):
+    """Host/XLA regeneration of the kernel's threefry streams — identical
+    bits by construction (same generator, same (row, col) counters)."""
+    key_u = jax.lax.bitcast_convert_type(key_f, jnp.uint32)
+    k0, k1 = key_u[0], key_u[1]
+    g = threefry.gumbel_from_grid(k0, k1, *threefry.host_grid(b, k))
+    eps = threefry.normal_from_grid(k0, k1, *threefry.host_grid(b, d))
+    return g, eps
+
+
 def _fused_head_bwd(hard, noise_mode, interpret, res, cts):
-    (g, eps, tau, k_logits, q_means, q_logvars, pi_logits, p_means,
+    (g, eps, key_f, tau, k_logits, q_means, q_logvars, pi_logits, p_means,
      p_logvars) = res
+    b, k = k_logits.shape
+    d = q_means.shape[-1]
     if BWD_IMPL == 'pallas':
         from gmvae_tpu.ops.kernels import fused_elbo_bwd
         d_kl, d_qm, d_qlv, d_pi, d_pm, d_plv = fused_elbo_bwd.pallas_bwd(
             g, eps, k_logits, q_means, q_logvars, pi_logits, p_means,
-            p_logvars, tau, tuple(cts), hard=hard, interpret=interpret)
+            p_logvars, tau, tuple(cts), hard=hard, interpret=interpret,
+            key_f=key_f)
     else:
+        if g is None:  # threefry mode: replay the streams host-side
+            g, eps = _host_replay_noise(key_f, b, k, d)
         _, vjp = jax.vjp(
             lambda kl, qm, qlv, pi, pm, plv: _replay(
                 g, eps, kl, qm, qlv, pi, pm, plv, tau, hard),
             k_logits, q_means, q_logvars, pi_logits, p_means, p_logvars)
         d_kl, d_qm, d_qlv, d_pi, d_pm, d_plv = vjp(tuple(cts))
     # zero cotangents must carry the primal inputs' exact vma; every input
-    # was promoted to the same union in fused_mixture_elbo, and the kernel
-    # residual ``g`` carries that union
-    d_key = _pvary_to(jnp.zeros((2,), jnp.float32), vma_union(g))
+    # was promoted to the same union in fused_mixture_elbo, and k_logits
+    # carries that union
+    vma = vma_union(k_logits)
+    d_key = _pvary_to(jnp.zeros((2,), jnp.float32), vma)
+    if noise_mode == 'xla':
+        d_noise = (jnp.zeros((b, k), jnp.float32),
+                   jnp.zeros((b, d), jnp.float32))
+    else:  # primal noise args were the (1, 1) dummies
+        d_noise = (jnp.zeros((1, 1), jnp.float32),
+                   jnp.zeros((1, 1), jnp.float32))
+    d_noise = tuple(_pvary_to(a, vma) for a in d_noise)
     return (d_key, jnp.zeros_like(tau), d_kl, d_qm,
-            d_qlv, d_pi, d_pm, d_plv,
-            (jnp.zeros_like(g), jnp.zeros_like(eps)))
+            d_qlv, d_pi, d_pm, d_plv, d_noise)
 
 
 _fused_head.defvjp(_fused_head_fwd, _fused_head_bwd)
@@ -402,8 +657,10 @@ def fused_mixture_elbo(key: jax.Array,
         g_in = dists.sample_gumbel(key_g, (b, k), jnp.float32)
         eps_in = jax.random.normal(key_z, (b, d), jnp.float32)
     else:
-        g_in = jnp.zeros((b, k), jnp.float32)
-        eps_in = jnp.zeros((b, d), jnp.float32)
+        # in-kernel noise: (1,1) dummies keep the custom_vjp signature
+        # uniform without materializing [B,K]+[B,D] zero inputs
+        g_in = jnp.zeros((1, 1), jnp.float32)
+        eps_in = jnp.zeros((1, 1), jnp.float32)
     key_f = jax.lax.bitcast_convert_type(_key_data(key), jnp.float32)
 
     tau = jnp.asarray(tau, jnp.float32)

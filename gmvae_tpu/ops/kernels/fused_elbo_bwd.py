@@ -194,20 +194,35 @@ def manual_bwd(g, eps, k_logits, q_means, q_logvars, pi_logits, p_means,
 
 
 def _bwd_kernel(tau_ref,                               # SMEM (1,1)
-                g_ref, eps_ref,                        # (TB,K) (TB,D)
-                kl_ref, qm_ref, qlv_ref,               # (TB,K) (TB,K,D) x2
-                pi_ref, pm_ref, plv_ref,               # (1,K) (K,D) (K,D)
-                cz_ref, cy_ref, cs_ref,                # (TB,D) (TB,K) (TB,8)
-                d_kl_ref, d_qm_ref, d_qlv_ref,         # tiled outputs
-                d_pi_ref, d_pm_ref, d_plv_ref,         # accumulated (full)
-                *, hard: bool):
+                key_ref,                               # SMEM (1,2) int32
+                *rest,                                 # [not regen: g (TB,K),
+                                                       #  eps (TB,D)], then:
+                                                       # kl qm qlv pi pm plv
+                                                       # cz cy cs + 6 outputs
+                hard: bool, regen: bool):
+    refs = list(rest)
+    if regen:
+        g_ref = eps_ref = None
+    else:
+        g_ref, eps_ref = refs[:2]
+        refs = refs[2:]
+    (kl_ref, qm_ref, qlv_ref, pi_ref, pm_ref, plv_ref,
+     cz_ref, cy_ref, cs_ref,
+     d_kl_ref, d_qm_ref, d_qlv_ref, d_pi_ref, d_pm_ref, d_plv_ref) = refs
+
     f32 = jnp.float32
     tb, k = kl_ref.shape
-    d = eps_ref.shape[-1]
+    d = cz_ref.shape[-1]
     tau = tau_ref[0, 0]
 
-    g = g_ref[:]
-    eps = eps_ref[:]
+    if regen:
+        # threefry mode: regenerate the forward's EXACT noise on-chip from
+        # (key, global element index) — no HBM noise residuals at all
+        from gmvae_tpu.ops.kernels.fused_elbo import _tile_threefry_noise
+        g, eps = _tile_threefry_noise(key_ref, tb, k, d)
+    else:
+        g = g_ref[:]
+        eps = eps_ref[:]
     k_logits = kl_ref[:].astype(f32)
     q_means = qm_ref[:].astype(f32)
     qlv_in = qlv_ref[:].astype(f32)
@@ -355,18 +370,203 @@ def _bwd_kernel(tau_ref,                               # SMEM (1,1)
     d_plv_ref[:] = d_plv_ref[:] + jnp.sum(d_plv_b, axis=0) * plv_mask
 
 
+def _bwd_kernel_flat(tau_ref,                          # SMEM (1,1)
+                     key_ref,                          # SMEM (1,2) int32
+                     *rest, k: int, d: int, hard: bool, regen: bool):
+    """Flat-layout backward: the same chain rule as ``_bwd_kernel`` with
+    every [TB,K,D] tensor as (TB, N=K*D) and the K/D reductions as
+    selector matmuls (see fused_elbo._kernel_flat)."""
+    from gmvae_tpu.ops.kernels.fused_elbo import (_dot, _selectors,
+                                                  _tile_threefry_noise)
+    refs = list(rest)
+    if regen:
+        g_ref = eps_ref = None
+    else:
+        g_ref, eps_ref = refs[:2]
+        refs = refs[2:]
+    (kl_ref, qm_ref, qlv_ref, pi_ref, pm_ref, plv_ref,
+     cz_ref, cy_ref, cs_ref,
+     d_kl_ref, d_qm_ref, d_qlv_ref, d_pi_ref, d_pm_ref, d_plv_ref) = refs
+
+    f32 = jnp.float32
+    tb = kl_ref.shape[0]
+    tau = tau_ref[0, 0]
+
+    if regen:
+        g, eps = _tile_threefry_noise(key_ref, tb, k, d)
+    else:
+        g = g_ref[:]
+        eps = eps_ref[:]
+    k_logits = kl_ref[:].astype(f32)
+    qm = qm_ref[:].astype(f32)                                # (TB, N)
+    qlv_in = qlv_ref[:].astype(f32)
+    pi_logits = pi_ref[0, :].astype(f32)
+    pm = pm_ref[:].astype(f32)                                # (1, N)
+    plv_in = plv_ref[:].astype(f32)                           # (1, N)
+    cz = cz_ref[:]
+    cy = cy_ref[:]
+    c_lpm = cs_ref[:, 0:1]
+    c_lqm = cs_ref[:, 1:2]
+    c_lpc = cs_ref[:, 2:3]
+    c_lqc = cs_ref[:, 3:4]
+    c_klc = cs_ref[:, 4:5]
+
+    e, et, p, pt = _selectors(k, d)
+
+    qlv = jnp.clip(qlv_in, dists.LOGVAR_MIN, dists.LOGVAR_MAX)
+    plv = jnp.clip(plv_in, dists.LOGVAR_MIN, dists.LOGVAR_MAX)
+    qlv_mask = ((qlv_in >= dists.LOGVAR_MIN)
+                & (qlv_in <= dists.LOGVAR_MAX)).astype(f32)
+    plv_mask = ((plv_in >= dists.LOGVAR_MIN)
+                & (plv_in <= dists.LOGVAR_MAX)).astype(f32)
+
+    s = (k_logits + g) / tau
+    s = s - jnp.max(s, axis=-1, keepdims=True)
+    es = jnp.exp(s)
+    ysoft = es / jnp.sum(es, axis=-1, keepdims=True)
+    if hard:
+        am = jnp.argmax(ysoft, axis=-1)
+        col = jax.lax.broadcasted_iota(jnp.int32, (tb, k), 1)
+        y = jnp.where(col == am[:, None], f32(1.0), f32(0.0))
+    else:
+        y = ysoft
+
+    y_exp = _dot(y, e)                                        # (TB, N)
+    mean = _dot(y_exp * qm, p)                                # (TB, D)
+    lv = _dot(y_exp * qlv, p)
+    z = mean + jnp.exp(0.5 * lv) * eps
+    pmean = _dot(y_exp * pm, p)
+    pl_mix = _dot(y_exp * plv, p)
+
+    z_exp = _dot(z, pt)                                       # (TB, N)
+    eq = jnp.exp(-qlv)
+    ep = jnp.exp(-plv)                                        # (1, N)
+    dq = z_exp - qm
+    dp = z_exp - pm
+    comp_q = -0.5 * (_dot(dq * dq * eq + qlv, et) + d * LOG2PI)
+    comp_p = -0.5 * (_dot(dp * dp * ep + plv, et) + d * LOG2PI)
+
+    log_pi = pi_logits - jax.nn.logsumexp(pi_logits)
+    pi_sm = jnp.exp(log_pi)
+    log_qk = k_logits - jax.nn.logsumexp(k_logits, axis=-1, keepdims=True)
+    qk = jnp.exp(log_qk)
+
+    ap_l = log_pi[None] + comp_p
+    ap_l = ap_l - jnp.max(ap_l, axis=-1, keepdims=True)
+    e_ap = jnp.exp(ap_l)
+    w_p = e_ap / jnp.sum(e_ap, axis=-1, keepdims=True)
+    aq_l = log_qk + comp_q
+    aq_l = aq_l - jnp.max(aq_l, axis=-1, keepdims=True)
+    e_aq = jnp.exp(aq_l)
+    w_q = e_aq / jnp.sum(e_aq, axis=-1, keepdims=True)
+
+    d_z = cz
+    d_y = cy
+    d_kl = jnp.zeros((tb, k), f32)
+    d_qm_acc = jnp.zeros_like(qm)
+    d_qlv_acc = jnp.zeros_like(qm)
+    d_pi_t = jnp.zeros((k,), f32)
+    d_pm_acc = jnp.zeros_like(qm)   # per-batch (TB,N); summed at the end
+    d_plv_acc = jnp.zeros_like(qm)
+    d_mean = jnp.zeros((tb, d), f32)
+    d_lv = jnp.zeros((tb, d), f32)
+
+    # A. klc
+    klc_val = jnp.sum(qk * (log_qk - log_pi[None]), axis=-1, keepdims=True)
+    d_kl += c_klc * qk * ((log_qk - log_pi[None]) - klc_val)
+    d_pi_t += jnp.sum(c_klc * (pi_sm[None] - qk), axis=0)
+
+    # B. lqc
+    e_lv = jnp.exp(-lv)
+    r_q = (z - mean) * e_lv
+    d_z += c_lqc * (-r_q)
+    d_mean += c_lqc * r_q
+    d_lv += c_lqc * 0.5 * ((z - mean) * r_q - 1.0)
+
+    # C. lpc
+    e_pl = jnp.exp(-pl_mix)
+    r_p = (z - pmean) * e_pl
+    d_z += c_lpc * (-r_p)
+    d_pmean_exp = _dot(c_lpc * r_p, pt)                       # (TB, N)
+    d_pl_exp = _dot(c_lpc * 0.5 * ((z - pmean) * r_p - 1.0), pt)
+    d_pm_acc += y_exp * d_pmean_exp
+    d_y += _dot(pm * d_pmean_exp, et)
+    d_plv_acc += y_exp * d_pl_exp
+    d_y += _dot(plv * d_pl_exp, et)
+
+    # D/E. the two LSEs
+    a_q = c_lqm * w_q
+    a_p = c_lpm * w_p
+    d_log_qk = a_q
+    d_pi_t += jnp.sum(c_lpm * (w_p - pi_sm[None]), axis=0)
+
+    # F. comp_q
+    a_q_exp = _dot(a_q, e)                                    # (TB, N)
+    dqe = dq * eq
+    d_z += _dot(a_q_exp * (-dqe), p)
+    d_qm_acc += a_q_exp * dqe
+    d_qlv_acc += a_q_exp * 0.5 * (dq * dqe - 1.0)
+
+    # G. comp_p
+    a_p_exp = _dot(a_p, e)
+    dpe = dp * ep
+    d_z += _dot(a_p_exp * (-dpe), p)
+    d_pm_acc += a_p_exp * dpe
+    d_plv_acc += a_p_exp * 0.5 * (dp * dpe - 1.0)
+
+    # H. z = mean + e^{lv/2} eps
+    d_mean += d_z
+    d_lv += d_z * 0.5 * jnp.exp(0.5 * lv) * eps
+
+    # I. mixing
+    d_mean_exp = _dot(d_mean, pt)
+    d_lv_exp = _dot(d_lv, pt)
+    d_qm_acc += y_exp * d_mean_exp
+    d_y += _dot(qm * d_mean_exp, et)
+    d_qlv_acc += y_exp * d_lv_exp
+    d_y += _dot(qlv * d_lv_exp, et)
+
+    # J. straight-through softmax
+    d_s = (d_y - jnp.sum(d_y * ysoft, axis=-1, keepdims=True)) * ysoft
+    d_kl += d_s / tau
+
+    # K. log_softmax(kl)
+    d_kl += d_log_qk - qk * jnp.sum(d_log_qk, axis=-1, keepdims=True)
+
+    d_kl_ref[:] = d_kl
+    d_qm_ref[:] = d_qm_acc
+    d_qlv_ref[:] = d_qlv_acc * qlv_mask
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        d_pi_ref[:] = jnp.zeros_like(d_pi_ref)
+        d_pm_ref[:] = jnp.zeros_like(d_pm_ref)
+        d_plv_ref[:] = jnp.zeros_like(d_plv_ref)
+
+    d_pi_ref[:] = d_pi_ref[:] + d_pi_t.reshape(1, k)
+    d_pm_ref[:] = d_pm_ref[:] + jnp.sum(d_pm_acc, axis=0, keepdims=True)
+    d_plv_ref[:] = d_plv_ref[:] + (jnp.sum(d_plv_acc, axis=0, keepdims=True)
+                                   * plv_mask)
+
+
 def pallas_bwd(g, eps, k_logits, q_means, q_logvars, pi_logits, p_means,
                p_logvars, tau, cts, hard: bool,
-               interpret: bool) -> Tuple[jax.Array, ...]:
+               interpret: bool, key_f=None) -> Tuple[jax.Array, ...]:
     """Single-kernel backward. Cotangent layout matches the forward's
     outputs; per-sample scalars are packed into one (B,8) array to mirror
     the forward's packing. Zero rows in the batch padding contribute zero
-    gradient (all terms are linear in the cotangents)."""
+    gradient (all terms are linear in the cotangents).
+
+    ``g``/``eps`` may be None (threefry mode): the kernel then regenerates
+    the forward's exact noise on-chip from ``key_f`` and the element
+    counters instead of reading residuals from HBM.
+    """
     import functools as _ft
 
     from jax.experimental import pallas as pl_  # local alias for clarity
     from jax.experimental.pallas import tpu as pltpu_
 
+    regen = g is None
     cz, cy, c_lpm, c_lqm, c_lpc, c_lqc, c_klc = cts
     b, k = k_logits.shape
     d = q_means.shape[-1]
@@ -378,10 +578,12 @@ def pallas_bwd(g, eps, k_logits, q_means, q_logvars, pi_logits, p_means,
     bp = -(-b // 8) * 8
     if bp != b:
         padb = lambda a: jnp.pad(a, ((0, bp - b),) + ((0, 0),) * (a.ndim - 1))
-        g, eps, k_logits, q_means, q_logvars, cz, cy, cs = map(
-            padb, (g, eps, k_logits, q_means, q_logvars, cz, cy, cs))
-    from gmvae_tpu.ops.kernels.fused_elbo import _pick_tile
-    tb = _pick_tile(bp, k, d)
+        k_logits, q_means, q_logvars, cz, cy, cs = map(
+            padb, (k_logits, q_means, q_logvars, cz, cy, cs))
+        if not regen:
+            g, eps = map(padb, (g, eps))
+    from gmvae_tpu.ops.kernels import fused_elbo as _fwd
+    tb = _fwd._pick_tile(bp, k, d)
     grid = (bp // tb,)
 
     tile = lambda *shape: pl_.BlockSpec(
@@ -389,38 +591,76 @@ def pallas_bwd(g, eps, k_logits, q_means, q_logvars, pi_logits, p_means,
         memory_space=pltpu_.VMEM)
     full = lambda *shape: pl_.BlockSpec(
         shape, lambda i: (0,) * len(shape), memory_space=pltpu_.VMEM)
-    smem = pl_.BlockSpec((1, 1), lambda i: (0, 0),
-                         memory_space=pltpu_.SMEM)
+    smem = lambda *shape: pl_.BlockSpec(
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu_.SMEM)
 
-    from gmvae_tpu.ops.kernels.fused_elbo import vma_union
-    vma = vma_union(g, eps, k_logits, q_means, q_logvars, pi_logits,
-                    p_means, p_logvars, cz, cy, cs, tau)
-    out_shape = (
-        jax.ShapeDtypeStruct((bp, k), f32, vma=vma),      # d_kl
-        jax.ShapeDtypeStruct((bp, k, d), f32, vma=vma),   # d_qm
-        jax.ShapeDtypeStruct((bp, k, d), f32, vma=vma),   # d_qlv
-        jax.ShapeDtypeStruct((1, k), f32, vma=vma),       # d_pi (accumulated)
-        jax.ShapeDtypeStruct((k, d), f32, vma=vma),       # d_pm (accumulated)
-        jax.ShapeDtypeStruct((k, d), f32, vma=vma),       # d_plv (accumulated)
-    )
-    out_specs = (tile(tb, k), tile(tb, k, d), tile(tb, k, d),
-                 full(1, k), full(k, d), full(k, d))
+    vma = _fwd.vma_union(g, eps, k_logits, q_means, q_logvars, pi_logits,
+                         p_means, p_logvars, cz, cy, cs, tau, key_f)
+    flat = _fwd.use_flat_layout(k, d)
+    n = k * d
+    if flat:
+        out_shape = (
+            jax.ShapeDtypeStruct((bp, k), f32, vma=vma),   # d_kl
+            jax.ShapeDtypeStruct((bp, n), f32, vma=vma),   # d_qm (flat)
+            jax.ShapeDtypeStruct((bp, n), f32, vma=vma),   # d_qlv (flat)
+            jax.ShapeDtypeStruct((1, k), f32, vma=vma),    # d_pi (accum)
+            jax.ShapeDtypeStruct((1, n), f32, vma=vma),    # d_pm (accum)
+            jax.ShapeDtypeStruct((1, n), f32, vma=vma),    # d_plv (accum)
+        )
+        out_specs = (tile(tb, k), tile(tb, n), tile(tb, n),
+                     full(1, k), full(1, n), full(1, n))
+    else:
+        out_shape = (
+            jax.ShapeDtypeStruct((bp, k), f32, vma=vma),      # d_kl
+            jax.ShapeDtypeStruct((bp, k, d), f32, vma=vma),   # d_qm
+            jax.ShapeDtypeStruct((bp, k, d), f32, vma=vma),   # d_qlv
+            jax.ShapeDtypeStruct((1, k), f32, vma=vma),       # d_pi (accum)
+            jax.ShapeDtypeStruct((k, d), f32, vma=vma),       # d_pm (accum)
+            jax.ShapeDtypeStruct((k, d), f32, vma=vma),       # d_plv (accum)
+        )
+        out_specs = (tile(tb, k), tile(tb, k, d), tile(tb, k, d),
+                     full(1, k), full(k, d), full(k, d))
 
-    kernel = _ft.partial(_bwd_kernel, hard=hard)
+    if key_f is None:
+        key_i = jnp.zeros((1, 2), jnp.int32)
+    else:
+        key_i = jax.lax.bitcast_convert_type(key_f, jnp.int32).reshape(1, 2)
+    in_specs = [smem(1, 1), smem(1, 2)]
+    operands = [jnp.asarray(tau, f32).reshape(1, 1), key_i]
+    if not regen:
+        in_specs += [tile(tb, k), tile(tb, d)]
+        operands += [g, eps]
+    if flat:
+        in_specs += [tile(tb, k), tile(tb, n), tile(tb, n),
+                     full(1, k), full(1, n), full(1, n),
+                     tile(tb, d), tile(tb, k), tile(tb, 8)]
+        operands += [k_logits, q_means.reshape(bp, n),
+                     q_logvars.reshape(bp, n),
+                     pi_logits.reshape(1, k), p_means.reshape(1, n),
+                     p_logvars.reshape(1, n), cz, cy, cs]
+        kernel = _ft.partial(_bwd_kernel_flat, k=k, d=d, hard=hard,
+                             regen=regen)
+    else:
+        in_specs += [tile(tb, k), tile(tb, k, d), tile(tb, k, d),
+                     full(1, k), full(k, d), full(k, d),
+                     tile(tb, d), tile(tb, k), tile(tb, 8)]
+        operands += [k_logits, q_means, q_logvars,
+                     pi_logits.reshape(1, k), p_means, p_logvars, cz, cy, cs]
+        kernel = _ft.partial(_bwd_kernel, hard=hard, regen=regen)
+
     d_kl, d_qm, d_qlv, d_pi, d_pm, d_plv = pl_.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[smem,
-                  tile(tb, k), tile(tb, d),
-                  tile(tb, k), tile(tb, k, d), tile(tb, k, d),
-                  full(1, k), full(k, d), full(k, d),
-                  tile(tb, d), tile(tb, k), tile(tb, 8)],
+        in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
-    )(jnp.asarray(tau, f32).reshape(1, 1), g, eps,
-      k_logits, q_means, q_logvars,
-      pi_logits.reshape(1, k), p_means, p_logvars, cz, cy, cs)
+    )(*operands)
+    if flat:
+        d_qm = d_qm.reshape(bp, k, d)
+        d_qlv = d_qlv.reshape(bp, k, d)
+        d_pm = d_pm.reshape(k, d)
+        d_plv = d_plv.reshape(k, d)
     if bp != b:
         d_kl, d_qm, d_qlv = d_kl[:b], d_qm[:b], d_qlv[:b]
     return (d_kl, d_qm, d_qlv, d_pi[0], d_pm, d_plv)

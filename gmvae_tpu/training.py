@@ -96,6 +96,12 @@ def make_loss_fn(model: GMVAE, cfg: Config):
             k = qbar.shape[-1]
             balance = jnp.sum(qbar * jnp.log(qbar * k + 1e-12))
             loss = loss + cfg.balance_weight * balance
+        if cfg.conf_weight > 0:
+            # assignment-confidence regularizer: E_x[H(q(k|x))]; with the
+            # balance term this is -I(k;x) (configs.Config.conf_weight)
+            logq = jax.nn.log_softmax(aux['k_logits'], axis=-1)
+            ent = -jnp.sum(jnp.exp(logq) * logq, axis=-1)
+            loss = loss + cfg.conf_weight * jnp.mean(ent)
         metrics = {
             'loss': loss,
             'elbo': jnp.mean(elbo),

@@ -1,5 +1,5 @@
-"""Benchmark harness sanity (SURVEY.md §2.1 'Benchmark harness'): runs on
-any backend, returns the driver's JSON schema, excludes compile."""
+"""Benchmark harness tests (SURVEY.md §2.1 'Benchmark harness'): schema,
+compile exclusion, and the timing fence actually forcing execution."""
 
 import json
 
@@ -14,3 +14,34 @@ def test_run_bench_schema_and_sanity():
     assert r['value'] > 0
     assert abs(r['vs_baseline'] - r['value'] / 50_000.0) < 1e-3
     json.dumps(r)  # one-line JSON serializable
+
+
+def test_compile_exclusion_actually_excludes_compile():
+    """With warmup (compile outside the timed window) throughput must be
+    far higher than with compile included — the assertion that fails if a
+    refactor silently starts timing the first (compiling) chunk."""
+    cfg = configs.synthetic_tiny(batch_size=32)
+    warm = benchmark.run_bench(cfg, steps=8, scan_steps=4, warmup_chunks=1)
+    cold = benchmark.run_bench(cfg.replace(name='synthetic_tiny_cold',
+                                           enc_hidden=(48, 48)),
+                               steps=8, scan_steps=4, warmup_chunks=0)
+    # the cold run times its own compile (fresh model shape -> no cache
+    # hit); a correct harness shows a large warm/cold gap
+    assert warm['value'] > 3 * cold['value'], (warm, cold)
+
+
+def test_fence_forces_execution():
+    """The device->host fence must make the TIMED WINDOW cover real step
+    execution: 32x the steps must cost well over 4x the window time (if
+    the fence were a no-op, every window would collapse to dispatch time
+    and the ratio would be ~1)."""
+    cfg = configs.synthetic_tiny(batch_size=64, enc_hidden=(256, 256),
+                                 dec_hidden=(256, 256))
+
+    def window(steps):
+        r = benchmark.run_bench(cfg, steps=steps, scan_steps=2, detail=True)
+        return r['detail']['seconds']
+
+    window(2)  # compile once
+    t_small, t_big = window(2), window(64)
+    assert t_big > 4 * t_small, (t_small, t_big)

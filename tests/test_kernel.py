@@ -120,6 +120,23 @@ def test_model_level_equivalence():
                                    rtol=2e-4, atol=2e-5)
 
 
+def test_forward_matches_golden_3d_layout():
+    """d >= 128 selects the 3-D-layout kernel (lanes already full there);
+    keep it covered now that small-d problems auto-select the flat layout."""
+    assert not fused_elbo.use_flat_layout(3, 128)
+    key, k_logits, q_means, q_logvars, prior = _problem(b=9, k=3, d=128,
+                                                        seed=8)
+    tau = jnp.float32(0.8)
+    ref = elbo_lib.mixture_elbo_head(key, k_logits, q_means, q_logvars,
+                                     prior, tau)
+    got = fused_elbo.fused_mixture_elbo(key, k_logits, q_means, q_logvars,
+                                        prior, tau, noise_mode='xla',
+                                        interpret=True)
+    for name, a, b in zip(ref._fields, ref, got):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5, err_msg=name)
+
+
 def test_is_supported_reports_backend():
     assert fused_elbo.is_supported() == (jax.default_backend() == 'tpu')
 
