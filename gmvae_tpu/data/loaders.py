@@ -57,6 +57,36 @@ def _from_npz(name: str, data_dir: str) -> Optional[Dataset]:
         )
 
 
+def _from_svhn_mat(data_dir: str) -> Optional[Dataset]:
+    """First-class SVHN loader: reads the standard distribution files
+    (train_32x32.mat / test_32x32.mat, as published at
+    ufldl.stanford.edu/housenumbers) straight from ``data_dir`` — no
+    conversion step. Accepts the ``svhn_``-prefixed names too."""
+    def find(kind):
+        for fname in (f'{kind}_32x32.mat', f'svhn_{kind}_32x32.mat'):
+            p = os.path.join(data_dir, fname)
+            if os.path.exists(p):
+                return p
+        return None
+
+    train_p, test_p = find('train'), find('test')
+    if not (train_p and test_p):
+        return None
+    from scipy.io import loadmat
+
+    def load(p):
+        m = loadmat(p)
+        x = np.transpose(m['X'], (3, 0, 1, 2)).astype(np.uint8)  # N,H,W,C
+        y = m['y'].ravel().astype(np.int32) % 10                 # '10' -> 0
+        return x, y
+
+    tx, ty = load(train_p)
+    ex, ey = load(test_p)
+    return Dataset(name='svhn', train_x=_ensure_nhwc(tx, _SHAPES['svhn']),
+                   train_y=ty, test_x=_ensure_nhwc(ex, _SHAPES['svhn']),
+                   test_y=ey)
+
+
 def _from_keras(name: str) -> Optional[Dataset]:
     """tf.keras.datasets loader — hits the local keras cache, downloads only
     when the environment has egress (this one does not; errors are caught)."""
@@ -160,6 +190,8 @@ def load(name: str, data_dir: Optional[str] = None,
 
     data_dir = data_dir or os.environ.get('GMVAE_DATA_DIR', 'data_cache')
     ds = _from_npz(name, data_dir)
+    if ds is None and name == 'svhn':
+        ds = _from_svhn_mat(data_dir)
     if ds is None:
         ds = _from_keras(name)
     if ds is not None:

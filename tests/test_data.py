@@ -117,6 +117,30 @@ def test_npz_local_cache_loader(tmp_path):
     np.testing.assert_array_equal(ds.test_x, test_x)
 
 
+def test_svhn_mat_loader(tmp_path):
+    """SVHN loads straight from the standard .mat distribution files
+    (column-major X [H,W,C,N], labels 1..10 with '10' meaning digit 0)."""
+    from scipy.io import savemat
+    rng = np.random.default_rng(2)
+
+    def write(kind, n):
+        x = rng.integers(0, 256, size=(32, 32, 3, n), dtype=np.uint8)
+        y = np.concatenate([[10], rng.integers(1, 11, size=n - 1)])
+        savemat(tmp_path / f'{kind}_32x32.mat',
+                {'X': x, 'y': y.reshape(-1, 1)})
+        return x, y
+
+    tx, ty = write('train', 24)
+    write('test', 8)
+    ds = data_lib.load('svhn', data_dir=str(tmp_path))
+    assert not ds.synthetic
+    assert ds.train_x.shape == (24, 32, 32, 3)
+    np.testing.assert_array_equal(ds.train_x,
+                                  np.transpose(tx, (3, 0, 1, 2)))
+    assert ds.train_y[0] == 0                  # '10' -> digit 0
+    assert set(np.unique(ds.train_y)) <= set(range(10))
+
+
 def test_npz_loader_grayscale_without_channel_axis(tmp_path):
     """3-dim [N,H,W] npz images get the channel axis added."""
     rng = np.random.default_rng(1)
