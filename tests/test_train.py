@@ -11,8 +11,7 @@ from gmvae_tpu import configs
 from gmvae_tpu import data as data_lib
 from gmvae_tpu import training as train_lib
 
-GOLDEN_PATH = os.path.join(os.path.dirname(__file__), 'golden',
-                           'elbo_synthetic.json')
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), 'golden')
 
 
 def _tiny_cfg(**kw):
@@ -76,15 +75,21 @@ def test_kl_warmup_schedule():
     assert float(beta_end) == 1.0
 
 
-def test_golden_elbo_trajectory():
-    """Seed-frozen 50-step ELBO trajectory vs checked-in golden file —
-    guards numerics refactors and kernel swaps (SURVEY.md §4.2 tier 5).
+@pytest.mark.parametrize('fname', ['elbo_synthetic.json',
+                                   'elbo_synthetic_hard.json'])
+def test_golden_elbo_trajectory(fname):
+    """Seed-frozen 50-step ELBO trajectories vs checked-in golden files —
+    guards numerics refactors and kernel swaps (SURVEY.md §4.2 tier 5),
+    on both the easy fixture and the overlapping-cluster hard fixture.
     Regenerate deliberately with: python tests/make_golden.py"""
-    if not os.path.exists(GOLDEN_PATH):
+    path = os.path.join(GOLDEN_DIR, fname)
+    if not os.path.exists(path):
         pytest.skip('golden file not generated yet')
-    with open(GOLDEN_PATH) as f:
+    with open(path) as f:
         golden = json.load(f)
-    cfg = _tiny_cfg(**golden['config_overrides'])
+    cfg = configs.get_config(golden.get('config', 'synthetic_tiny'),
+                             run_dir='/tmp/gmvae_test_runs')
+    cfg = cfg.replace(**golden['config_overrides'])
     trainer = train_lib.Trainer(cfg)
     state = trainer.init_state()
     idx = trainer.batch_plan(golden['steps'])
