@@ -66,7 +66,11 @@ class Config:
 
     # optimization
     lr: float = 1e-3
-    grad_clip: float = 0.0            # global-norm clip; 0 disables.
+    grad_clip: float = 0.0            # gradient-norm clip; 0 disables.
+    # clip formulation: 'global' (one norm over all leaves, optax),
+    # 'per_leaf' (block-wise, training.clip_by_leaf_norm — celeba_dp16
+    # uses it; see that function's docstring), 'value' (optax.clip).
+    grad_clip_impl: str = 'global'
     steps: int = 20_000
     eval_every: int = 2_000
     eval_samples: int = 1             # S-sample eval ELBO + IWAE LSE bound
@@ -150,7 +154,7 @@ def celeba_dp16(**kw) -> Config:
         dec_hidden=(512, 256, 128, 64),
         latent_dim=256, n_components=64, likelihood='gaussian', binarize=False,
         batch_size=1024, compute_dtype='bfloat16', scan_steps=50,
-        grad_clip=1.0, data_sharding='sharded',
+        grad_clip=1.0, grad_clip_impl='per_leaf', data_sharding='sharded',
     ).replace(**kw)
 
 

@@ -60,12 +60,46 @@ def make_model(cfg: Config) -> GMVAE:
     return GMVAE(cfg, head_fn=head_fn)
 
 
+def clip_by_leaf_norm(max_norm: float) -> optax.GradientTransformation:
+    """Per-leaf (block-wise) gradient-norm clipping.
+
+    Each parameter tensor is scaled to norm <= max_norm independently —
+    no cross-leaf scalar reduction. Used by celeba_dp16: the global-norm
+    formulation (one sqrt over every leaf's sumsq) crashes this
+    environment's remote TPU compile helper at celeba scale (PERF.md
+    "Environment quirks"; measured: bare adam and per-leaf clip compile,
+    both global-norm formulations 500), and block-wise clipping is an
+    established alternative with the same divergence protection.
+    """
+    def init(params):
+        del params
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        del params
+
+        def clip(g):
+            n = jnp.sqrt(jnp.sum(jnp.square(g)))
+            return g * jnp.minimum(1.0, max_norm / jnp.maximum(n, 1e-12))
+
+        return jax.tree.map(clip, updates), state
+
+    return optax.GradientTransformation(init, update)
+
+
+_CLIPS = {'global': optax.clip_by_global_norm, 'per_leaf': clip_by_leaf_norm,
+          'value': optax.clip}
+
+
 def make_optimizer(cfg: Config) -> optax.GradientTransformation:
     if cfg.grad_clip > 0:
         # conv/ResNet Gaussian-likelihood configs diverge without this on
         # long runs (measured: cifar_k20 ELBO +3815 at 8k steps -> -1820 at
         # 30k); MLP/Bernoulli configs are stable bare.
-        return optax.chain(optax.clip_by_global_norm(cfg.grad_clip),
+        if cfg.grad_clip_impl not in _CLIPS:
+            raise ValueError(f'grad_clip_impl must be one of {sorted(_CLIPS)}'
+                             f', got {cfg.grad_clip_impl!r}')
+        return optax.chain(_CLIPS[cfg.grad_clip_impl](cfg.grad_clip),
                            optax.adam(cfg.lr))
     return optax.adam(cfg.lr)
 

@@ -99,6 +99,26 @@ def test_golden_elbo_trajectory(fname):
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-3)
 
 
+def test_clip_by_leaf_norm():
+    import jax.numpy as jnp
+    tx = train_lib.clip_by_leaf_norm(1.0)
+    grads = {'big': jnp.full((4,), 10.0), 'small': jnp.full((4,), 0.01)}
+    out, _ = tx.update(grads, tx.init(grads))
+    np.testing.assert_allclose(float(jnp.linalg.norm(out['big'])), 1.0,
+                               rtol=1e-6)  # clipped to the max norm
+    np.testing.assert_array_equal(np.asarray(out['small']),
+                                  np.asarray(grads['small']))  # untouched
+
+
+def test_grad_clip_impl_validated():
+    cfg = _tiny_cfg(grad_clip=1.0, grad_clip_impl='nope')
+    with pytest.raises(ValueError, match='grad_clip_impl'):
+        train_lib.make_optimizer(cfg)
+    for impl in ('global', 'per_leaf', 'value'):
+        train_lib.make_optimizer(_tiny_cfg(grad_clip=1.0,
+                                           grad_clip_impl=impl))
+
+
 def test_balance_regularizer_spreads_component_usage():
     """With a strong balance weight, batch-mean q(k|x) approaches uniform."""
     import gmvae_tpu.api as api
