@@ -49,10 +49,11 @@ class Config:
     balance_weight: float = 5.0
     # weight on E_x[H(q(k|x))] (assignment confidence). Together with the
     # balance term this regularizes with the mutual information
-    # I(k;x) = H(mean_x q) - E_x[H(q)] (RIM-style). The Gaussian-likelihood
-    # conv/ResNet configs need it: their log p(x|z) scale (~1e3 nats)
-    # swamps the categorical KL, so q(k|x) stays diffuse without it
-    # (measured: svhn_conv stand-in ACC 0.61 -> see BASELINE.md r2 sweep).
+    # I(k;x) = H(mean_x q) - E_x[H(q)] (RIM-style). Measured on the
+    # svhn_conv stand-in (r2 sweep): conf 20 with balance 5 COLLAPSES
+    # assignments (ACC 0.11) — a stronger balance term alone is what fixes
+    # the conv configs (0.62 -> 0.90 at balance 20); conf stays available
+    # but defaults off.
     conf_weight: float = 0.0
     # floor on the DECODER's predicted log-variance (gaussian likelihood
     # only; dists.LOGVAR_MIN=-12 is the numerical bound). Raising it caps
