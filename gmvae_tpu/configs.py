@@ -123,6 +123,17 @@ def fmnist_deep(**kw) -> Config:
     ).replace(**kw)
 
 
+# Conv/ResNet (gaussian-likelihood) configs share a measured regularizer
+# setting (r2 sweeps, v5e, 4k-10k steps, 2048-example eval): the round-1
+# defaults (balance 5, tau0 1) left conv paths in a merged/split-component
+# local minimum (svhn ACC 0.62, cifar 0.62, celeba 0.18). balance_weight=20
+# alone lifts svhn to 0.72-1.00 (seed-dependent); adding a hotter Gumbel
+# start (tau0=2, anneal 1e-4 so tau stays >1 for the first ~7k steps) makes
+# it robust across seeds: svhn ACC 1.00/0.91/1.00 (seeds 0/1/2), cifar
+# 0.91/0.91, celeba 0.82 (vs 0.18 base). See BASELINE.md sweep table.
+_CONV_REG = dict(balance_weight=20.0, tau0=2.0, tau_anneal=1e-4)
+
+
 def svhn_conv(**kw) -> Config:
     """SVHN conv-GMVAE: conv encoder/decoder, K=10, latent 128
     (BASELINE.json:9)."""
@@ -130,7 +141,7 @@ def svhn_conv(**kw) -> Config:
         name='svhn_conv', dataset='svhn', image_shape=(32, 32, 3),
         arch='conv', enc_hidden=(64, 128, 256), dec_hidden=(256, 128, 64),
         latent_dim=128, likelihood='gaussian', binarize=False,
-        scan_steps=100, grad_clip=1.0,
+        scan_steps=100, grad_clip=1.0, **_CONV_REG,
     ).replace(**kw)
 
 
@@ -141,7 +152,7 @@ def cifar_k20(**kw) -> Config:
         name='cifar_k20', dataset='cifar10', image_shape=(32, 32, 3),
         arch='resnet', enc_hidden=(64, 128, 256), dec_hidden=(256, 128, 64),
         latent_dim=128, n_components=20, likelihood='gaussian', binarize=False,
-        scan_steps=100, grad_clip=1.0,
+        scan_steps=100, grad_clip=1.0, **_CONV_REG,
     ).replace(**kw)
 
 
@@ -156,6 +167,7 @@ def celeba_dp16(**kw) -> Config:
         latent_dim=256, n_components=64, likelihood='gaussian', binarize=False,
         batch_size=1024, compute_dtype='bfloat16', scan_steps=50,
         grad_clip=1.0, grad_clip_impl='per_leaf', data_sharding='sharded',
+        **_CONV_REG,
     ).replace(**kw)
 
 
