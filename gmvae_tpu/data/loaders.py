@@ -87,6 +87,91 @@ def _from_svhn_mat(data_dir: str) -> Optional[Dataset]:
                    test_y=ey)
 
 
+def _from_celeba_dir(data_dir: str) -> Optional[Dataset]:
+    """First-class CelebA loader: reads the standard aligned-JPEG
+    distribution (``img_align_celeba/*.jpg``, 178x218, as published on the
+    CelebA site / kaggle mirror) straight from ``data_dir`` — no conversion
+    step. Preprocessing is the common VAE recipe: center-crop 148x148, then
+    bilinear resize to 64x64.
+
+    Optional sidecar files, used when present:
+      - ``list_eval_partition.txt`` (filename 0|1|2): 0/1 -> train, 2 -> test
+        (the official split; val folds into train as the reference-style
+        trainers do). Absent: last 10% of filenames (sorted) become test.
+      - ``identity_CelebA.txt`` (filename identity): labels for the
+        EVALUATION-ONLY metrics, remapped to contiguous ints. Absent: labels
+        are all zero (training is unsupervised; ACC/NMI are then vacuous).
+
+    The decoded uint8 tensor is cached as ``celeba.npz`` in ``data_dir`` so
+    the JPEG decode (~200k images) happens once; later loads hit _from_npz.
+    """
+    for root in (os.path.join(data_dir, 'img_align_celeba'),
+                 os.path.join(data_dir, 'celeba', 'img_align_celeba')):
+        if os.path.isdir(root):
+            break
+    else:
+        return None
+    names = sorted(f for f in os.listdir(root)
+                   if f.lower().endswith(('.jpg', '.jpeg', '.png')))
+    if not names:
+        return None
+    from PIL import Image
+
+    side = os.path.dirname(root)
+
+    def sidecar(fname):
+        for d in (side, data_dir):
+            p = os.path.join(d, fname)
+            if os.path.exists(p):
+                return p
+        return None
+
+    part_p, ident_p = sidecar('list_eval_partition.txt'), (
+        sidecar('identity_CelebA.txt'))
+    partition = {}
+    if part_p:
+        with open(part_p) as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) == 2 and parts[1] in ('0', '1', '2'):
+                    partition[parts[0]] = int(parts[1])
+    identity = {}
+    if ident_p:
+        with open(ident_p) as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) == 2:
+                    identity[parts[0]] = int(parts[1])
+    remap = {v: i for i, v in enumerate(sorted(set(identity.values())))}
+
+    h, w, _ = _SHAPES['celeba']
+    xs = np.empty((len(names), h, w, 3), np.uint8)
+    ys = np.zeros((len(names),), np.int32)
+    is_test = np.zeros((len(names),), bool)
+    n_fallback_test = max(1, len(names) // 10)
+    for i, fname in enumerate(names):
+        with Image.open(os.path.join(root, fname)) as im:
+            im = im.convert('RGB')
+            cw, ch = im.size
+            left, top = (cw - 148) // 2, (ch - 148) // 2
+            im = im.crop((left, top, left + 148, top + 148))
+            xs[i] = np.asarray(im.resize((w, h), Image.BILINEAR), np.uint8)
+        ys[i] = remap.get(identity.get(fname, -1), 0)
+        is_test[i] = (partition[fname] == 2 if fname in partition
+                      else i >= len(names) - n_fallback_test)
+
+    ds = Dataset(name='celeba',
+                 train_x=xs[~is_test], train_y=ys[~is_test],
+                 test_x=xs[is_test], test_y=ys[is_test])
+    try:
+        np.savez_compressed(
+            os.path.join(data_dir, 'celeba.npz'), train_x=ds.train_x,
+            train_y=ds.train_y, test_x=ds.test_x, test_y=ds.test_y)
+    except OSError:
+        pass  # cache is best-effort (read-only data_dir is fine)
+    return ds
+
+
 def _from_keras(name: str) -> Optional[Dataset]:
     """tf.keras.datasets loader — hits the local keras cache, downloads only
     when the environment has egress (this one does not; errors are caught)."""
@@ -192,6 +277,8 @@ def load(name: str, data_dir: Optional[str] = None,
     ds = _from_npz(name, data_dir)
     if ds is None and name == 'svhn':
         ds = _from_svhn_mat(data_dir)
+    if ds is None and name == 'celeba':
+        ds = _from_celeba_dir(data_dir)
     if ds is None:
         ds = _from_keras(name)
     if ds is not None:

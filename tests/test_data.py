@@ -141,6 +141,55 @@ def test_svhn_mat_loader(tmp_path):
     assert set(np.unique(ds.train_y)) <= set(range(10))
 
 
+def test_celeba_dir_loader(tmp_path):
+    """CelebA loads straight from the aligned-JPEG distribution layout
+    (img_align_celeba/*.jpg 178x218 + official partition/identity files):
+    center-crop 148 -> resize 64x64, split per list_eval_partition, identity
+    labels remapped contiguous — and the decode result is npz-cached."""
+    from PIL import Image
+    rng = np.random.default_rng(3)
+    root = tmp_path / 'img_align_celeba'
+    root.mkdir()
+    names = [f'{i:06d}.jpg' for i in range(1, 13)]
+    for n in names:
+        Image.fromarray(rng.integers(0, 256, size=(218, 178, 3),
+                                     dtype=np.uint8)).save(root / n)
+    # official-format sidecars: last 4 files are the test partition;
+    # identities are non-contiguous ints
+    (tmp_path / 'list_eval_partition.txt').write_text(
+        ''.join(f'{n} {0 if i < 8 else 2}\n' for i, n in enumerate(names)))
+    (tmp_path / 'identity_CelebA.txt').write_text(
+        ''.join(f'{n} {1000 + (i % 3) * 7}\n' for i, n in enumerate(names)))
+
+    ds = data_lib.load('celeba', data_dir=str(tmp_path))
+    assert not ds.synthetic
+    assert ds.train_x.shape == (8, 64, 64, 3)
+    assert ds.test_x.shape == (4, 64, 64, 3)
+    assert ds.train_x.dtype == np.uint8
+    assert set(np.unique(np.concatenate([ds.train_y, ds.test_y]))) == {0, 1, 2}
+    # decode-once cache: a second load must hit the npz path bit-identically
+    assert (tmp_path / 'celeba.npz').exists()
+    ds2 = data_lib.load('celeba', data_dir=str(tmp_path))
+    np.testing.assert_array_equal(ds.train_x, ds2.train_x)
+    np.testing.assert_array_equal(ds.test_y, ds2.test_y)
+
+
+def test_celeba_dir_loader_no_sidecars(tmp_path):
+    """Without partition/identity files: sorted-name 90/10 split, zero
+    labels (training is unsupervised; metrics are then vacuous)."""
+    from PIL import Image
+    root = tmp_path / 'celeba' / 'img_align_celeba'   # nested layout variant
+    root.mkdir(parents=True)
+    for i in range(1, 11):
+        Image.fromarray(np.full((218, 178, 3), i * 20, np.uint8)).save(
+            root / f'{i:06d}.jpg')
+    ds = data_lib.load('celeba', data_dir=str(tmp_path))
+    assert not ds.synthetic
+    assert ds.train_x.shape == (9, 64, 64, 3)
+    assert ds.test_x.shape == (1, 64, 64, 3)
+    assert (ds.train_y == 0).all() and (ds.test_y == 0).all()
+
+
 def test_npz_loader_grayscale_without_channel_axis(tmp_path):
     """3-dim [N,H,W] npz images get the channel axis added."""
     rng = np.random.default_rng(1)
