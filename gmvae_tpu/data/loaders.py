@@ -248,17 +248,20 @@ def make_synthetic(image_shape=(8, 8, 1), n_clusters: int = 2,
 def make_synthetic_hard(seed: int = 77) -> Dataset:
     """MNIST-shaped overlapping-cluster benchmark fixture.
 
-    Deliberately NOT ceiling-saturated: prototypes at 8% contrast with 3x
-    the pixel noise put the Bayes-optimal (true-centroid) classifier at
-    ~0.96 ACC, so a trained unsupervised GMVAE lands meaningfully below
-    1.0 and quality regressions are visible (BASELINE.md r2; the
-    trivially-separable stand-ins clamp at 1.00 where a metric can't
-    move). Parameters frozen — changing them invalidates the recorded
-    baseline row and the golden trajectory."""
+    Deliberately NOT ceiling-saturated: prototypes at 25% contrast with 3x
+    the pixel noise. Calibration measured on v5e (10k-step runs of the
+    mnist-architecture config, BASELINE.md r2): at separation 0.08 the
+    fixture is information-rich (true-centroid classifier: 0.97 ACC) but
+    every trained GMVAE variant collapses to ~0.11 — too hard to serve as
+    a regression guard; at 0.4 the model clusters at 0.87-1.00 — nearly
+    saturated. 0.25 lands training mid-range (ACC ~0.5, NMI ~0.65) where
+    quality regressions are visible in BOTH directions. Parameters frozen —
+    changing them invalidates the recorded baseline row and the golden
+    trajectory."""
     return make_synthetic(image_shape=(28, 28, 1), n_clusters=10,
                           n_train=60_000, n_test=10_000, seed=seed,
                           name='synthetic_hard',
-                          separation=0.08, noise_std=0.25)
+                          separation=0.25, noise_std=0.25)
 
 
 def load(name: str, data_dir: Optional[str] = None,
