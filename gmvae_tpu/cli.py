@@ -23,6 +23,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help='named config (see configs.CONFIGS)')
         sp.add_argument('--set', action='append', default=[], metavar='K=V',
                         help='override a config field, e.g. --set steps=1000')
+        sp.add_argument('--data-dir', default=None, metavar='DIR',
+                        help='directory with local dataset files (npz, '
+                             'svhn .mat, celeba jpg layout); default '
+                             '$GMVAE_DATA_DIR or ./data_cache')
         sp.add_argument('--debug', action='store_true',
                         help='enable jax_debug_nans (SURVEY.md §5.2)')
         sp.add_argument('--profile', default=None, metavar='LOGDIR',
@@ -65,6 +69,9 @@ def main(argv=None) -> int:
 
     if args.debug:
         jax.config.update('jax_debug_nans', True)
+    if args.data_dir:
+        # loaders read $GMVAE_DATA_DIR; a flag beats env plumbing in docs
+        os.environ['GMVAE_DATA_DIR'] = args.data_dir
 
     try:
         cfg = configs.get_config(args.config,

@@ -149,6 +149,23 @@ def test_cli_overrides_tuple_coercion_by_element_type():
         configs.Config = orig
 
 
+def test_cli_data_dir_flag_routes_to_loaders(monkeypatch, tmp_path):
+    """--data-dir must reach data.load (via $GMVAE_DATA_DIR) before any
+    dataset is touched."""
+    from gmvae_tpu import api, cli
+    seen = {}
+
+    def fake_train(cfg, **kw):
+        seen['data_dir'] = os.environ.get('GMVAE_DATA_DIR')
+        return None, None, []
+
+    monkeypatch.delenv('GMVAE_DATA_DIR', raising=False)
+    monkeypatch.setattr(api, 'train', fake_train)
+    rc = cli.main(['train', '--config', 'synthetic_tiny',
+                   '--data-dir', str(tmp_path)])
+    assert rc == 0 and seen['data_dir'] == str(tmp_path)
+
+
 def test_all_named_configs_construct():
     for name in configs.CONFIGS:
         cfg = configs.get_config(name)
