@@ -61,6 +61,26 @@ def test_gaussian_likelihood_heads(name):
     assert imgs.shape == (2, *cfg.image_shape)
 
 
+def test_k1_degenerates_to_plain_vae():
+    """K=1 is the plain-VAE special case of the mixture (the reference
+    repo's separate VAE variant, SURVEY.md §2.4): a one-category Gumbel is
+    deterministic, the mixture prior reduces to a single Gaussian, and the
+    model must still train — forward + backward finite, and a short train
+    loop improves the ELBO."""
+    from gmvae_tpu import training as train_lib
+    cfg = configs.synthetic_tiny(n_components=1, steps=40, eval_every=10**9,
+                                 ckpt_every=0, scan_steps=20)
+    trainer = train_lib.Trainer(cfg)
+    state = trainer.init_state()
+    idx = trainer.batch_plan(cfg.steps)
+    state, m = trainer.run_chunk(state, idx[:20])
+    first = float(np.asarray(m['elbo'][0]))
+    state, m = trainer.run_chunk(state, idx[20:])
+    last = float(np.asarray(m['elbo'][-1]))
+    assert np.isfinite(first) and np.isfinite(last)
+    assert last > first
+
+
 def test_bfloat16_compute_path():
     """compute_dtype='bfloat16' runs the MXU path; outputs stay float32."""
     cfg = _shrunk(configs.mnist_k10(compute_dtype='bfloat16'))
