@@ -164,9 +164,13 @@ def _from_celeba_dir(data_dir: str) -> Optional[Dataset]:
                  train_x=xs[~is_test], train_y=ys[~is_test],
                  test_x=xs[is_test], test_y=ys[is_test])
     try:
-        np.savez_compressed(
-            os.path.join(data_dir, 'celeba.npz'), train_x=ds.train_x,
-            train_y=ds.train_y, test_x=ds.test_x, test_y=ds.test_y)
+        # write-tmp-rename: a kill mid-write must not leave a truncated
+        # celeba.npz that _from_npz would pick up (and crash on) forever
+        final = os.path.join(data_dir, 'celeba.npz')
+        tmp = final + '.tmp.npz'   # np.savez appends .npz to other suffixes
+        np.savez_compressed(tmp, train_x=ds.train_x, train_y=ds.train_y,
+                            test_x=ds.test_x, test_y=ds.test_y)
+        os.replace(tmp, final)
     except OSError:
         pass  # cache is best-effort (read-only data_dir is fine)
     return ds

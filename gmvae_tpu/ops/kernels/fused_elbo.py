@@ -389,11 +389,13 @@ def _kernel_flat(key_ref,          # SMEM (1,2) int32
 # ---------------------------------------------------------------------------
 
 
-def _pick_tile(b: int, k: int, d: int) -> int:
+def _pick_tile(b: int, k: int, d: int, copies: int = 6) -> int:
     """Batch-tile size: largest multiple-of-8 tile whose working set
-    (~6 copies of [TB, K, D] f32) stays within a conservative VMEM budget."""
+    (``copies`` live [TB, K, D] f32 temporaries — ~6 for the forward
+    kernels; the backward keeps ~15 alive and must say so) stays within a
+    conservative VMEM budget."""
     budget = 6 * 1024 * 1024
-    per_row = max(1, 6 * k * d * 4)
+    per_row = max(1, copies * k * d * 4)
     tb = max(8, min(512, budget // per_row))
     tb = (tb // 8) * 8
     while b % tb:  # B is padded to a multiple of 8 by the caller

@@ -583,7 +583,11 @@ def pallas_bwd(g, eps, k_logits, q_means, q_logvars, pi_logits, p_means,
         if not regen:
             g, eps = map(padb, (g, eps))
     from gmvae_tpu.ops.kernels import fused_elbo as _fwd
-    tb = _fwd._pick_tile(bp, k, d)
+    # the backward keeps ~15 (TB, K*D) f32 temporaries alive (q/p density
+    # terms, their cotangents, and four param-grad accumulators) vs the
+    # forward's ~6 — budget the tile accordingly or Mosaic can fail VMEM
+    # allocation near the _FLAT_MAX_N ceiling
+    tb = _fwd._pick_tile(bp, k, d, copies=15)
     grid = (bp // tb,)
 
     tile = lambda *shape: pl_.BlockSpec(
