@@ -47,6 +47,13 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument('--component', type=int, default=None)
     s.add_argument('--out', default=None)
 
+    r = sub.add_parser('reconstruct',
+                       help='reconstruction grid (originals | recons) for '
+                            'the first N test images, from checkpoint')
+    common(r)
+    r.add_argument('--n', type=int, default=32)
+    r.add_argument('--out', default=None)
+
     b = sub.add_parser('bench', help='training throughput benchmark')
     common(b)
     b.add_argument('--steps', type=int, default=2000)
@@ -91,7 +98,7 @@ def main(argv=None) -> int:
                                           save_grids=args.grids)
             if history:
                 print(json.dumps(history[-1]))
-        elif args.verb in ('eval', 'sample', 'latent'):
+        elif args.verb in ('eval', 'sample', 'reconstruct', 'latent'):
             trainer = train_lib.Trainer(cfg)
             state = trainer.init_state()
             run_dir = os.path.join(cfg.run_dir, cfg.name)
@@ -117,6 +124,20 @@ def main(argv=None) -> int:
                 else:
                     print('error: matplotlib unavailable', file=sys.stderr)
                     return 3
+            elif args.verb == 'reconstruct':
+                import numpy as np
+
+                from gmvae_tpu.utils.logging import save_image_grid
+                n = min(args.n, len(trainer.dataset.test_x))
+                orig = trainer.dataset.test_x[:n]
+                recon = api.reconstruct(trainer, state, orig)
+                # interleave rows: originals above their reconstructions
+                grid = np.concatenate(
+                    [np.asarray(orig, np.float32) / 255.0,
+                     np.asarray(recon, np.float32)], axis=0)
+                out = args.out or os.path.join(run_dir, 'recon_cli.png')
+                save_image_grid(out, grid, ncol=n)  # row 1 orig, row 2 recon
+                print(out)
             else:
                 from gmvae_tpu.utils.logging import save_image_grid
                 imgs = api.sample(trainer, state, args.n,

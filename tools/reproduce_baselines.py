@@ -1,0 +1,83 @@
+"""Reproduce the BASELINE.md measured table.
+
+Trains every named config at its UNMODIFIED defaults (only steps/eval
+cadence pinned), reports trained ELBO/ACC/NMI plus steady-state throughput
+(img/s/chip, compile excluded), one JSON line per config:
+
+    python tools/reproduce_baselines.py            # all rows
+    python tools/reproduce_baselines.py svhn_conv  # one row
+
+Run on the target hardware (the recorded rows: one TPU v5e chip). Real
+datasets are used when present under $GMVAE_DATA_DIR (see
+data/loaders.py); otherwise the deterministic crc32-seeded stand-ins are
+substituted with a warning — BASELINE.md footnotes which rows used which.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import numpy as np
+
+from gmvae_tpu import configs
+from gmvae_tpu import data as data_lib
+from gmvae_tpu import training as train_lib
+
+# (config, train_steps, eval_examples, config_kwargs). celeba_dp16 is its
+# single-chip smoke shape — the named config's global batch 1024 targets a
+# v5e-16 pod slice (BASELINE.md footnote).
+PLAN = [
+    ('mnist_k10', 20_000, 10_000, {}),
+    ('fmnist_deep', 20_000, 10_000, {}),
+    ('synthetic_hard', 10_000, 10_000, {}),
+    ('svhn_conv', 10_000, 10_000, {}),
+    ('cifar_k20', 10_000, 10_000, {}),
+    ('celeba_dp16', 2_000, 2_048, {'batch_size': 256, 'scan_steps': 100}),
+]
+
+
+def measure(name: str, steps: int, n_eval: int, kw: dict) -> dict:
+    cfg = configs.get_config(name, **kw).replace(
+        steps=steps, eval_every=10**9, ckpt_every=0)
+    if cfg.scan_steps < 50:
+        cfg = cfg.replace(scan_steps=50)
+    ds = data_lib.load(cfg.dataset)
+    t0 = time.perf_counter()
+    trainer = train_lib.Trainer(cfg, ds)
+    state = trainer.init_state()
+    idx = trainer.batch_plan(steps)
+    pos, t_steady, imgs = 0, None, 0
+    while pos < idx.shape[0]:
+        s = min(cfg.scan_steps, idx.shape[0] - pos)
+        state, m = trainer.run_chunk(state, idx[pos:pos + s])
+        pos += s
+        if t_steady is None:
+            # first chunk includes compile: fence (device->host scalar — the
+            # only true sync on the axon platform, PERF.md), then restart
+            # the timing window
+            float(np.asarray(m['elbo'][-1]))
+            t_steady, imgs = time.perf_counter(), 0
+        else:
+            imgs += s * cfg.batch_size
+    float(np.asarray(m['elbo'][-1]))  # final fence
+    ips = imgs / max(time.perf_counter() - t_steady, 1e-9)
+    row = trainer.evaluate(state, max_examples=n_eval)
+    row.update(config=name, steps=steps, synthetic_standin=ds.synthetic,
+               img_per_sec_chip=round(ips / jax.local_device_count(), 1),
+               total_secs=round(time.perf_counter() - t0, 1))
+    return row
+
+
+def main() -> None:
+    which = sys.argv[1:] or [n for n, *_ in PLAN]
+    unknown = set(which) - {n for n, *_ in PLAN}
+    if unknown:
+        raise SystemExit(f'unknown configs: {sorted(unknown)}')
+    for name, steps, n_eval, kw in PLAN:
+        if name in which:
+            print(json.dumps(measure(name, steps, n_eval, kw)), flush=True)
+
+
+if __name__ == '__main__':
+    main()
