@@ -122,31 +122,24 @@ def _tile_threefry_noise(key_ref, tb: int, k: int, d: int):
     return g, eps
 
 
-def _kernel(key_ref,           # SMEM (1,2) int32: threefry key halves
-            tau_ref,           # SMEM (1,1) float32
-            k_logits_ref,      # VMEM (TB, K)
-            q_means_ref,       # VMEM (TB, K, D)
-            q_logvars_ref,     # VMEM (TB, K, D)
-            pi_ref,            # VMEM (1, K)
-            p_means_ref,       # VMEM (K, D)
-            p_logvars_ref,     # VMEM (K, D)
-            *rest,             # ['xla': g_in (TB,K), eps_in (TB,D)]
-                               # outputs: z (TB,D), y (TB,K), scal (TB,8)
-                               # ['hw': g_out (TB,K), eps_out (TB,D)]
-            hard: bool, noise_mode: str):
+def _split_io(rest, noise_mode: str):
+    """Unpack a kernel's ``*rest`` refs, shared by both layout variants:
+    ['xla': g_in, eps_in], z, y, scal, ['hw': g_out, eps_out]."""
     refs = list(rest)
     g_in_ref = eps_in_ref = None
     if noise_mode == 'xla':
         g_in_ref, eps_in_ref = refs[:2]
         refs = refs[2:]
     z_ref, y_ref, scal_ref = refs[:3]
-    noise_out = refs[3:]
+    return g_in_ref, eps_in_ref, z_ref, y_ref, scal_ref, refs[3:]
 
-    tb, k = k_logits_ref.shape
-    d = z_ref.shape[-1]
+
+def _noise_and_gumbel(key_ref, tau_ref, k_logits_ref, g_in_ref, eps_in_ref,
+                      noise_out, tb: int, k: int, d: int, hard: bool,
+                      noise_mode: str):
+    """Noise acquisition + Gumbel-softmax relaxation, single-sourced for the
+    3-D and flat kernels. Returns (g, eps, k_logits_f32, y)."""
     f32 = jnp.float32
-
-    # ---- noise ----------------------------------------------------------
     if noise_mode == 'threefry':
         # on-chip, replayable from (key, element index): NO residuals — the
         # backward kernel regenerates the identical bits instead of round-
@@ -171,8 +164,7 @@ def _kernel(key_ref,           # SMEM (1,2) int32: threefry key halves
 
     tau = tau_ref[0, 0]
     k_logits = k_logits_ref[:].astype(f32)
-
-    # ---- Gumbel-softmax relaxation (log-space stable) -------------------
+    # Gumbel-softmax relaxation (log-space stable)
     pert = (k_logits + g) / tau                                   # (TB, K)
     pert = pert - jnp.max(pert, axis=-1, keepdims=True)
     ey = jnp.exp(pert)
@@ -181,6 +173,30 @@ def _kernel(key_ref,           # SMEM (1,2) int32: threefry key halves
         am = jnp.argmax(y, axis=-1)                               # (TB,)
         col = jax.lax.broadcasted_iota(jnp.int32, (tb, k), 1)
         y = jnp.where(col == am[:, None], f32(1.0), f32(0.0))
+    return g, eps, k_logits, y
+
+
+def _kernel(key_ref,           # SMEM (1,2) int32: threefry key halves
+            tau_ref,           # SMEM (1,1) float32
+            k_logits_ref,      # VMEM (TB, K)
+            q_means_ref,       # VMEM (TB, K, D)
+            q_logvars_ref,     # VMEM (TB, K, D)
+            pi_ref,            # VMEM (1, K)
+            p_means_ref,       # VMEM (K, D)
+            p_logvars_ref,     # VMEM (K, D)
+            *rest,             # ['xla': g_in (TB,K), eps_in (TB,D)]
+                               # outputs: z (TB,D), y (TB,K), scal (TB,8)
+                               # ['hw': g_out (TB,K), eps_out (TB,D)]
+            hard: bool, noise_mode: str):
+    g_in_ref, eps_in_ref, z_ref, y_ref, scal_ref, noise_out = _split_io(
+        rest, noise_mode)
+    tb, k = k_logits_ref.shape
+    d = z_ref.shape[-1]
+    f32 = jnp.float32
+
+    g, eps, k_logits, y = _noise_and_gumbel(
+        key_ref, tau_ref, k_logits_ref, g_in_ref, eps_in_ref, noise_out,
+        tb, k, d, hard, noise_mode)
     y_ref[:] = y
 
     # ---- parameter mixing + reparameterized sample ----------------------
@@ -293,47 +309,16 @@ def _kernel_flat(key_ref,          # SMEM (1,2) int32
                  pm_ref,           # VMEM (1, N)   flattened prior means
                  plv_ref,          # VMEM (1, N)
                  *rest, k: int, d: int, hard: bool, noise_mode: str):
-    refs = list(rest)
-    g_in_ref = eps_in_ref = None
-    if noise_mode == 'xla':
-        g_in_ref, eps_in_ref = refs[:2]
-        refs = refs[2:]
-    z_ref, y_ref, scal_ref = refs[:3]
-    noise_out = refs[3:]
-
+    g_in_ref, eps_in_ref, z_ref, y_ref, scal_ref, noise_out = _split_io(
+        rest, noise_mode)
     tb = k_logits_ref.shape[0]
     f32 = jnp.float32
 
-    if noise_mode == 'threefry':
-        g, eps = _tile_threefry_noise(key_ref, tb, k, d)
-    elif noise_mode == 'hw':
-        pltpu.prng_seed(key_ref[0, 0] + pl.program_id(0))
-        u_g = _hw_uniform((tb, k))
-        g = -jnp.log(-jnp.log(u_g))
-        u1 = _hw_uniform((tb, d))
-        u2 = _hw_uniform((tb, d))
-        eps = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
-    else:
-        g = g_in_ref[:]
-        eps = eps_in_ref[:]
-    if noise_out:
-        noise_out[0][:] = g
-        noise_out[1][:] = eps
-
-    tau = tau_ref[0, 0]
-    k_logits = k_logits_ref[:].astype(f32)
-    e, et, p, pt = _selectors(k, d)
-
-    # Gumbel-softmax relaxation
-    pert = (k_logits + g) / tau
-    pert = pert - jnp.max(pert, axis=-1, keepdims=True)
-    ey = jnp.exp(pert)
-    y = ey / jnp.sum(ey, axis=-1, keepdims=True)
-    if hard:
-        am = jnp.argmax(y, axis=-1)
-        col = jax.lax.broadcasted_iota(jnp.int32, (tb, k), 1)
-        y = jnp.where(col == am[:, None], f32(1.0), f32(0.0))
+    g, eps, k_logits, y = _noise_and_gumbel(
+        key_ref, tau_ref, k_logits_ref, g_in_ref, eps_in_ref, noise_out,
+        tb, k, d, hard, noise_mode)
     y_ref[:] = y
+    e, et, p, pt = _selectors(k, d)
 
     qm = qm_ref[:].astype(f32)                                # (TB, N)
     qlv = jnp.clip(qlv_ref[:].astype(f32),

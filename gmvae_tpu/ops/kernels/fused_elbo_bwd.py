@@ -193,6 +193,22 @@ def manual_bwd(g, eps, k_logits, q_means, q_logvars, pi_logits, p_means,
 # ---------------------------------------------------------------------------
 
 
+def _split_bwd_io(rest, key_ref, regen: bool, tb: int, k: int, d: int):
+    """Shared ``*rest`` unpacking + noise for both backward layouts: [not
+    regen: g, eps], then kl qm qlv pi pm plv cz cy cs + 6 grad outputs.
+    In regen (threefry) mode the forward's EXACT noise is regenerated
+    on-chip from (key, global element index) — no HBM noise residuals."""
+    from gmvae_tpu.ops.kernels.fused_elbo import _tile_threefry_noise
+    refs = list(rest)
+    if regen:
+        g, eps = _tile_threefry_noise(key_ref, tb, k, d)
+    else:
+        g_ref, eps_ref = refs[:2]
+        refs = refs[2:]
+        g, eps = g_ref[:], eps_ref[:]
+    return g, eps, refs
+
+
 def _bwd_kernel(tau_ref,                               # SMEM (1,1)
                 key_ref,                               # SMEM (1,2) int32
                 *rest,                                 # [not regen: g (TB,K),
@@ -200,29 +216,18 @@ def _bwd_kernel(tau_ref,                               # SMEM (1,1)
                                                        # kl qm qlv pi pm plv
                                                        # cz cy cs + 6 outputs
                 hard: bool, regen: bool):
-    refs = list(rest)
-    if regen:
-        g_ref = eps_ref = None
-    else:
-        g_ref, eps_ref = refs[:2]
-        refs = refs[2:]
+    # tile shape comes from the non-optional refs regardless of regen mode
+    kl_probe = rest[0] if regen else rest[2]
+    cz_probe = rest[6] if regen else rest[8]
+    tb, k = kl_probe.shape
+    d = cz_probe.shape[-1]
+    g, eps, refs = _split_bwd_io(rest, key_ref, regen, tb, k, d)
     (kl_ref, qm_ref, qlv_ref, pi_ref, pm_ref, plv_ref,
      cz_ref, cy_ref, cs_ref,
      d_kl_ref, d_qm_ref, d_qlv_ref, d_pi_ref, d_pm_ref, d_plv_ref) = refs
 
     f32 = jnp.float32
-    tb, k = kl_ref.shape
-    d = cz_ref.shape[-1]
     tau = tau_ref[0, 0]
-
-    if regen:
-        # threefry mode: regenerate the forward's EXACT noise on-chip from
-        # (key, global element index) — no HBM noise residuals at all
-        from gmvae_tpu.ops.kernels.fused_elbo import _tile_threefry_noise
-        g, eps = _tile_threefry_noise(key_ref, tb, k, d)
-    else:
-        g = g_ref[:]
-        eps = eps_ref[:]
     k_logits = kl_ref[:].astype(f32)
     q_means = qm_ref[:].astype(f32)
     qlv_in = qlv_ref[:].astype(f32)
@@ -376,27 +381,15 @@ def _bwd_kernel_flat(tau_ref,                          # SMEM (1,1)
     """Flat-layout backward: the same chain rule as ``_bwd_kernel`` with
     every [TB,K,D] tensor as (TB, N=K*D) and the K/D reductions as
     selector matmuls (see fused_elbo._kernel_flat)."""
-    from gmvae_tpu.ops.kernels.fused_elbo import (_dot, _selectors,
-                                                  _tile_threefry_noise)
-    refs = list(rest)
-    if regen:
-        g_ref = eps_ref = None
-    else:
-        g_ref, eps_ref = refs[:2]
-        refs = refs[2:]
+    from gmvae_tpu.ops.kernels.fused_elbo import _dot, _selectors
+    tb = (rest[0] if regen else rest[2]).shape[0]
+    g, eps, refs = _split_bwd_io(rest, key_ref, regen, tb, k, d)
     (kl_ref, qm_ref, qlv_ref, pi_ref, pm_ref, plv_ref,
      cz_ref, cy_ref, cs_ref,
      d_kl_ref, d_qm_ref, d_qlv_ref, d_pi_ref, d_pm_ref, d_plv_ref) = refs
 
     f32 = jnp.float32
-    tb = kl_ref.shape[0]
     tau = tau_ref[0, 0]
-
-    if regen:
-        g, eps = _tile_threefry_noise(key_ref, tb, k, d)
-    else:
-        g = g_ref[:]
-        eps = eps_ref[:]
     k_logits = kl_ref[:].astype(f32)
     qm = qm_ref[:].astype(f32)                                # (TB, N)
     qlv_in = qlv_ref[:].astype(f32)
