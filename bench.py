@@ -16,4 +16,6 @@ except ImportError:  # driver runs this file in place, package not installed
     from gmvae_tpu.benchmark import run_bench
 
 if __name__ == '__main__':
+    from gmvae_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
     print(json.dumps(run_bench()))

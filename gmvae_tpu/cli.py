@@ -73,6 +73,9 @@ def main(argv=None) -> int:
     import jax
     from gmvae_tpu import api, configs, training as train_lib
     from gmvae_tpu.utils import checkpoint as ckpt_lib
+    from gmvae_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()  # repeat invocations skip multi-minute compiles
 
     if args.debug:
         jax.config.update('jax_debug_nans', True)

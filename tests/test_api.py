@@ -166,6 +166,30 @@ def test_cli_data_dir_flag_routes_to_loaders(monkeypatch, tmp_path):
     assert rc == 0 and seen['data_dir'] == str(tmp_path)
 
 
+def test_compile_cache_resolution(monkeypatch, tmp_path):
+    """enable_compile_cache: JAX env var wins untouched; GMVAE_COMPILE_CACHE
+    names the dir or disables with '0'; default under ~/.cache."""
+    import jax
+
+    from gmvae_tpu.utils.compile_cache import enable_compile_cache
+    orig = jax.config.jax_compilation_cache_dir
+    try:
+        monkeypatch.setenv('JAX_COMPILATION_CACHE_DIR', '/already/set')
+        assert enable_compile_cache() == '/already/set'
+        monkeypatch.delenv('JAX_COMPILATION_CACHE_DIR')
+
+        monkeypatch.setenv('GMVAE_COMPILE_CACHE', '0')
+        assert enable_compile_cache() is None
+
+        d = str(tmp_path / 'xla')
+        monkeypatch.setenv('GMVAE_COMPILE_CACHE', d)
+        assert enable_compile_cache() == d
+        assert os.path.isdir(d)
+        assert jax.config.jax_compilation_cache_dir == d
+    finally:
+        jax.config.update('jax_compilation_cache_dir', orig)
+
+
 def test_all_named_configs_construct():
     for name in configs.CONFIGS:
         cfg = configs.get_config(name)

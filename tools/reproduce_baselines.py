@@ -70,6 +70,8 @@ def measure(name: str, steps: int, n_eval: int, kw: dict) -> dict:
 
 
 def main() -> None:
+    from gmvae_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
     which = sys.argv[1:] or [n for n, *_ in PLAN]
     unknown = set(which) - {n for n, *_ in PLAN}
     if unknown:
