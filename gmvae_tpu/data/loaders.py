@@ -87,6 +87,47 @@ def _from_svhn_mat(data_dir: str) -> Optional[Dataset]:
                    test_y=ey)
 
 
+def _from_idx(name: str, data_dir: str) -> Optional[Dataset]:
+    """First-class MNIST/Fashion-MNIST loader: the standard idx distribution
+    files (train-images-idx3-ubyte / train-labels-idx1-ubyte / t10k-...,
+    optionally .gz, as published at yann.lecun.com and by Zalando) straight
+    from ``data_dir`` — no conversion step."""
+    import gzip
+    import struct
+
+    def find(stem):
+        for fname in (stem, stem + '.gz', f'{name}_{stem}',
+                      f'{name}_{stem}.gz'):
+            p = os.path.join(data_dir, fname)
+            if os.path.exists(p):
+                return p
+        return None
+
+    paths = {kind: (find(f'{prefix}-images-idx3-ubyte'),
+                    find(f'{prefix}-labels-idx1-ubyte'))
+             for kind, prefix in (('train', 'train'), ('test', 't10k'))}
+    if any(p is None for pair in paths.values() for p in pair):
+        return None
+
+    def read(path):
+        op = gzip.open if path.endswith('.gz') else open
+        with op(path, 'rb') as f:
+            magic, n = struct.unpack('>II', f.read(8))
+            if magic == 2051:                      # images
+                h, w = struct.unpack('>II', f.read(8))
+                data = np.frombuffer(f.read(n * h * w), np.uint8)
+                return data.reshape(n, h, w, 1)
+            if magic == 2049:                      # labels
+                return np.frombuffer(f.read(n), np.uint8).astype(np.int32)
+            raise ValueError(f'{path}: not an idx file (magic {magic})')
+
+    tx, ty = read(paths['train'][0]), read(paths['train'][1])
+    ex, ey = read(paths['test'][0]), read(paths['test'][1])
+    return Dataset(name=name, train_x=_ensure_nhwc(tx, _SHAPES[name]),
+                   train_y=ty, test_x=_ensure_nhwc(ex, _SHAPES[name]),
+                   test_y=ey)
+
+
 def _from_celeba_dir(data_dir: str) -> Optional[Dataset]:
     """First-class CelebA loader: reads the standard aligned-JPEG
     distribution (``img_align_celeba/*.jpg``, 178x218, as published on the
@@ -282,6 +323,8 @@ def load(name: str, data_dir: Optional[str] = None,
 
     data_dir = data_dir or os.environ.get('GMVAE_DATA_DIR', 'data_cache')
     ds = _from_npz(name, data_dir)
+    if ds is None and name in ('mnist', 'fmnist'):
+        ds = _from_idx(name, data_dir)
     if ds is None and name == 'svhn':
         ds = _from_svhn_mat(data_dir)
     if ds is None and name == 'celeba':

@@ -141,6 +141,38 @@ def test_svhn_mat_loader(tmp_path):
     assert set(np.unique(ds.train_y)) <= set(range(10))
 
 
+def test_idx_loader(tmp_path):
+    """MNIST/F-MNIST load straight from the standard idx distribution
+    files (big-endian magic 2051/2049, optionally gzipped)."""
+    import gzip
+    import struct
+    rng = np.random.default_rng(4)
+
+    def write_images(path, n, gz=False):
+        x = rng.integers(0, 256, size=(n, 28, 28), dtype=np.uint8)
+        blob = struct.pack('>IIII', 2051, n, 28, 28) + x.tobytes()
+        (gzip.open if gz else open)(path, 'wb').write(blob)
+        return x
+
+    def write_labels(path, n, gz=False):
+        y = rng.integers(0, 10, size=n, dtype=np.uint8)
+        blob = struct.pack('>II', 2049, n) + y.tobytes()
+        (gzip.open if gz else open)(path, 'wb').write(blob)
+        return y
+
+    tx = write_images(tmp_path / 'train-images-idx3-ubyte.gz', 24, gz=True)
+    ty = write_labels(tmp_path / 'train-labels-idx1-ubyte.gz', 24, gz=True)
+    ex = write_images(tmp_path / 't10k-images-idx3-ubyte', 8)   # mixed gz/raw
+    ey = write_labels(tmp_path / 't10k-labels-idx1-ubyte', 8)
+
+    ds = data_lib.load('mnist', data_dir=str(tmp_path))
+    assert not ds.synthetic
+    np.testing.assert_array_equal(ds.train_x, tx[..., None])
+    np.testing.assert_array_equal(ds.train_y, ty.astype(np.int32))
+    np.testing.assert_array_equal(ds.test_x, ex[..., None])
+    np.testing.assert_array_equal(ds.test_y, ey.astype(np.int32))
+
+
 def test_celeba_dir_loader(tmp_path):
     """CelebA loads straight from the aligned-JPEG distribution layout
     (img_align_celeba/*.jpg 178x218 + official partition/identity files):
