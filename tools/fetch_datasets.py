@@ -10,6 +10,11 @@ Each ``<name>.npz`` holds train_x/train_y/test_x/test_y (uint8 images
 [N,H,W,C] or [N,H,W], int labels) — the exact schema ``data.load`` reads.
 SVHN/CelebA have no keras loader; point --svhn-mat / --celeba-dir at the
 standard distribution files to convert them.
+
+NOTE: conversion is now OPTIONAL — ``data.load`` reads the standard
+distribution formats directly from ``--data-dir`` (mnist/fmnist idx[.gz],
+SVHN ``*_32x32.mat``, the CelebA aligned-JPEG layout). This tool remains
+for building compact single-file npz caches to ship around.
 """
 
 from __future__ import annotations
