@@ -190,13 +190,22 @@ def _from_celeba_dir(data_dir: str) -> Optional[Dataset]:
     ys = np.zeros((len(names),), np.int32)
     is_test = np.zeros((len(names),), bool)
     n_fallback_test = max(1, len(names) // 10)
-    for i, fname in enumerate(names):
+
+    def decode(i_fname):
+        i, fname = i_fname
         with Image.open(os.path.join(root, fname)) as im:
             im = im.convert('RGB')
             cw, ch = im.size
             left, top = (cw - 148) // 2, (ch - 148) // 2
             im = im.crop((left, top, left + 148, top + 148))
             xs[i] = np.asarray(im.resize((w, h), Image.BILINEAR), np.uint8)
+
+    # thread pool: libjpeg decode releases the GIL, and each thread writes
+    # a disjoint xs row — ~200k images drop from minutes to tens of seconds
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=min(32, os.cpu_count() or 1)) as ex:
+        list(ex.map(decode, enumerate(names), chunksize=256))
+    for i, fname in enumerate(names):
         ys[i] = remap.get(identity.get(fname, -1), 0)
         is_test[i] = (partition[fname] == 2 if fname in partition
                       else i >= len(names) - n_fallback_test)
