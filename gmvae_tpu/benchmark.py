@@ -59,7 +59,9 @@ def run_bench(cfg=None, steps: int = 2000, scan_steps: int = 200,
     dt = time.perf_counter() - t0
 
     images = n_chunks * scan_steps * cfg.batch_size
-    n_chips = jax.local_device_count()
+    # batch_size is GLOBAL, so per-chip uses the GLOBAL device count
+    # (== local on the single-host driver box; differs on pods)
+    n_chips = jax.device_count()
     img_per_sec_chip = images / dt / n_chips
     result = {
         'metric': 'mnist_gmvae_train_throughput',

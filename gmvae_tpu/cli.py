@@ -131,6 +131,9 @@ def main(argv=None) -> int:
                 import numpy as np
 
                 from gmvae_tpu.utils.logging import save_image_grid
+                if args.n <= 0:
+                    print('error: --n must be positive', file=sys.stderr)
+                    return 2
                 n = min(args.n, len(trainer.dataset.test_x))
                 orig = trainer.dataset.test_x[:n]
                 recon = api.reconstruct(trainer, state, orig)

@@ -96,8 +96,11 @@ def _from_idx(name: str, data_dir: str) -> Optional[Dataset]:
     import struct
 
     def find(stem):
-        for fname in (stem, stem + '.gz', f'{name}_{stem}',
-                      f'{name}_{stem}.gz'):
+        # dataset-prefixed names FIRST: mnist and fmnist are published
+        # under identical bare filenames, so an explicit `fmnist_` prefix
+        # must win over a bare (possibly other-dataset) file beside it
+        for fname in (f'{name}_{stem}', f'{name}_{stem}.gz',
+                      stem, stem + '.gz'):
             p = os.path.join(data_dir, fname)
             if os.path.exists(p):
                 return p

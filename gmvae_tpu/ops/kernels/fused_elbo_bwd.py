@@ -193,18 +193,24 @@ def manual_bwd(g, eps, k_logits, q_means, q_logvars, pi_logits, p_means,
 # ---------------------------------------------------------------------------
 
 
-def _split_bwd_io(rest, key_ref, regen: bool, tb: int, k: int, d: int):
+def _split_bwd_io(rest, key_ref, regen: bool):
     """Shared ``*rest`` unpacking + noise for both backward layouts: [not
     regen: g, eps], then kl qm qlv pi pm plv cz cy cs + 6 grad outputs.
     In regen (threefry) mode the forward's EXACT noise is regenerated
-    on-chip from (key, global element index) — no HBM noise residuals."""
+    on-chip from (key, global element index) — no HBM noise residuals.
+    The layout lives ONLY here: tile shape derives from the unpacked
+    kl (TB,K) / cz (TB,D) refs, identical in both layouts."""
     from gmvae_tpu.ops.kernels.fused_elbo import _tile_threefry_noise
     refs = list(rest)
+    if not regen:
+        g_ref, eps_ref = refs[:2]
+        refs = refs[2:]
+    kl_ref, cz_ref = refs[0], refs[6]
+    tb, k = kl_ref.shape
+    d = cz_ref.shape[-1]
     if regen:
         g, eps = _tile_threefry_noise(key_ref, tb, k, d)
     else:
-        g_ref, eps_ref = refs[:2]
-        refs = refs[2:]
         g, eps = g_ref[:], eps_ref[:]
     return g, eps, refs
 
@@ -216,17 +222,14 @@ def _bwd_kernel(tau_ref,                               # SMEM (1,1)
                                                        # kl qm qlv pi pm plv
                                                        # cz cy cs + 6 outputs
                 hard: bool, regen: bool):
-    # tile shape comes from the non-optional refs regardless of regen mode
-    kl_probe = rest[0] if regen else rest[2]
-    cz_probe = rest[6] if regen else rest[8]
-    tb, k = kl_probe.shape
-    d = cz_probe.shape[-1]
-    g, eps, refs = _split_bwd_io(rest, key_ref, regen, tb, k, d)
+    g, eps, refs = _split_bwd_io(rest, key_ref, regen)
     (kl_ref, qm_ref, qlv_ref, pi_ref, pm_ref, plv_ref,
      cz_ref, cy_ref, cs_ref,
      d_kl_ref, d_qm_ref, d_qlv_ref, d_pi_ref, d_pm_ref, d_plv_ref) = refs
 
     f32 = jnp.float32
+    tb, k = kl_ref.shape
+    d = cz_ref.shape[-1]
     tau = tau_ref[0, 0]
     k_logits = kl_ref[:].astype(f32)
     q_means = qm_ref[:].astype(f32)
@@ -382,13 +385,13 @@ def _bwd_kernel_flat(tau_ref,                          # SMEM (1,1)
     every [TB,K,D] tensor as (TB, N=K*D) and the K/D reductions as
     selector matmuls (see fused_elbo._kernel_flat)."""
     from gmvae_tpu.ops.kernels.fused_elbo import _dot, _selectors
-    tb = (rest[0] if regen else rest[2]).shape[0]
-    g, eps, refs = _split_bwd_io(rest, key_ref, regen, tb, k, d)
+    g, eps, refs = _split_bwd_io(rest, key_ref, regen)
     (kl_ref, qm_ref, qlv_ref, pi_ref, pm_ref, plv_ref,
      cz_ref, cy_ref, cs_ref,
      d_kl_ref, d_qm_ref, d_qlv_ref, d_pi_ref, d_pm_ref, d_plv_ref) = refs
 
     f32 = jnp.float32
+    tb = kl_ref.shape[0]
     tau = tau_ref[0, 0]
     k_logits = kl_ref[:].astype(f32)
     qm = qm_ref[:].astype(f32)                                # (TB, N)

@@ -151,13 +151,15 @@ def test_idx_loader(tmp_path):
     def write_images(path, n, gz=False):
         x = rng.integers(0, 256, size=(n, 28, 28), dtype=np.uint8)
         blob = struct.pack('>IIII', 2051, n, 28, 28) + x.tobytes()
-        (gzip.open if gz else open)(path, 'wb').write(blob)
+        with (gzip.open if gz else open)(path, 'wb') as f:
+            f.write(blob)
         return x
 
     def write_labels(path, n, gz=False):
         y = rng.integers(0, 10, size=n, dtype=np.uint8)
         blob = struct.pack('>II', 2049, n) + y.tobytes()
-        (gzip.open if gz else open)(path, 'wb').write(blob)
+        with (gzip.open if gz else open)(path, 'wb') as f:
+            f.write(blob)
         return y
 
     tx = write_images(tmp_path / 'train-images-idx3-ubyte.gz', 24, gz=True)

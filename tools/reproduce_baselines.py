@@ -63,8 +63,11 @@ def measure(name: str, steps: int, n_eval: int, kw: dict) -> dict:
     float(np.asarray(m['elbo'][-1]))  # final fence
     ips = imgs / max(time.perf_counter() - t_steady, 1e-9)
     row = trainer.evaluate(state, max_examples=n_eval)
+    # imgs counts the GLOBAL batch, so per-chip divides by the GLOBAL
+    # device count (multi-host pod reproductions would otherwise overstate
+    # by the process count)
     row.update(config=name, steps=steps, synthetic_standin=ds.synthetic,
-               img_per_sec_chip=round(ips / jax.local_device_count(), 1),
+               img_per_sec_chip=round(ips / jax.device_count(), 1),
                total_secs=round(time.perf_counter() - t0, 1))
     return row
 
