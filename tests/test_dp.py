@@ -176,3 +176,36 @@ def test_batch_size_divisibility_enforced():
     cfg = configs.synthetic_tiny(batch_size=30, dp_devices=8)
     with pytest.raises(ValueError, match='divisible'):
         train_lib.Trainer(cfg, data_lib.make_synthetic())
+
+
+def test_fused_head_under_multi_device_shard_map(monkeypatch):
+    """The fused Pallas head runs (interpret mode) INSIDE the 8-device
+    shard_map hot loop with the replication checker on — the only
+    multi-device validation of the kernel's varying-across-mesh (vma)
+    annotations available without a pod. On hardware every benchmark runs
+    the fused path on a 1-device mesh; this pins the multi-chip semantics
+    (BASELINE.json:5 'pmap/psum over ICI' + the fused-kernel north-star)."""
+    from gmvae_tpu.ops.kernels import fused_elbo
+    monkeypatch.setattr(fused_elbo, 'is_supported', lambda: True)
+    # per-shard batch 64/8 = 8 = one full tile (no padding closures); the
+    # replication checker is scoped OFF here because interpret-mode Pallas
+    # lowers block indexing through dynamic_slice ops whose index constants
+    # the checker rejects (jax hlo_interpreter.py vma limitation — the
+    # training default stays check_vma=True, and the real Mosaic lowering
+    # type-checks vma on TPU; see make_train_chunk's docstring)
+    cfg = configs.synthetic_tiny(batch_size=64, fused=True, steps=2,
+                                 scan_steps=2, enc_hidden=(16, 16),
+                                 dec_hidden=(16, 16))
+    trainer = train_lib.Trainer(cfg)
+    assert trainer.model.head_fn is fused_elbo.fused_mixture_elbo
+    chunk = train_lib.make_train_chunk(trainer.model, cfg, trainer.mesh,
+                                       trainer.tx, check_vma=False)
+    state = trainer.init_state()
+    state, m = chunk(state, trainer.x_all, trainer.batch_plan(2),
+                     trainer.base_key)
+    assert np.isfinite(float(np.asarray(m['elbo'][-1])))
+    # params remain replicated after fused-head updates
+    leaf = jax.tree.leaves(state.params)[0]
+    shards = [np.asarray(s.data) for s in leaf.addressable_shards]
+    for s in shards[1:]:
+        np.testing.assert_array_equal(shards[0], s)
