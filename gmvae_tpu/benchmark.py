@@ -63,15 +63,18 @@ def run_bench(cfg=None, steps: int = 2000, scan_steps: int = 200,
     # (== local on the single-host driver box; differs on pods)
     n_chips = jax.device_count()
     img_per_sec_chip = images / dt / n_chips
+    flagship = cfg.name == 'mnist_k10'
     result = {
         # the driver contract pins the flagship's metric name; other
         # configs report under their own name
-        'metric': ('mnist_gmvae_train_throughput'
-                   if cfg.name == 'mnist_k10'
+        'metric': ('mnist_gmvae_train_throughput' if flagship
                    else f'{cfg.name}_train_throughput'),
         'value': round(img_per_sec_chip, 1),
         'unit': 'images/sec/chip',
-        'vs_baseline': round(img_per_sec_chip / 50_000.0, 4),
+        # the 50k img/s north-star is MNIST-specific (BASELINE.json:5);
+        # other configs have no published baseline to ratio against
+        'vs_baseline': (round(img_per_sec_chip / 50_000.0, 4) if flagship
+                        else None),
     }
     extra = {'steps': n_chunks * scan_steps, 'seconds': dt,
              'chips': n_chips, 'batch': cfg.batch_size,

@@ -10,10 +10,22 @@ def test_run_bench_schema_and_sanity():
     cfg = configs.synthetic_tiny(batch_size=32)
     r = benchmark.run_bench(cfg, steps=4, scan_steps=2, warmup_chunks=1)
     assert set(r) == {'metric', 'value', 'unit', 'vs_baseline'}
+    assert r['metric'] == 'synthetic_tiny_train_throughput'
     assert r['unit'] == 'images/sec/chip'
     assert r['value'] > 0
-    assert abs(r['vs_baseline'] - r['value'] / 50_000.0) < 1e-3
+    # the 50k north-star ratio is flagship-only (MNIST-specific target)
+    assert r['vs_baseline'] is None
     json.dumps(r)  # one-line JSON serializable
+
+
+def test_run_bench_flagship_contract():
+    """The driver's bench.py contract: the mnist_k10 config reports the
+    pinned metric name and the vs-50k ratio."""
+    cfg = configs.mnist_k10(batch_size=32, fused=False,
+                            enc_hidden=(32, 32), dec_hidden=(32, 32))
+    r = benchmark.run_bench(cfg, steps=4, scan_steps=2, warmup_chunks=1)
+    assert r['metric'] == 'mnist_gmvae_train_throughput'
+    assert abs(r['vs_baseline'] - r['value'] / 50_000.0) < 1e-3
 
 
 def test_compile_exclusion_actually_excludes_compile():

@@ -180,22 +180,20 @@ def test_batch_size_divisibility_enforced():
 
 def test_fused_head_under_multi_device_shard_map(monkeypatch):
     """The fused Pallas head runs (interpret mode) INSIDE the 8-device
-    shard_map hot loop with the replication checker on — the only
-    multi-device validation of the kernel's varying-across-mesh (vma)
-    annotations available without a pod. On hardware every benchmark runs
-    the fused path on a 1-device mesh; this pins the multi-chip semantics
-    (BASELINE.json:5 'pmap/psum over ICI' + the fused-kernel north-star)."""
+    shard_map hot loop: fused math + psum produce finite metrics and
+    replicated params across a real multi-device mesh. NOT covered here:
+    the kernel's varying-across-mesh (vma) annotations — the checker must
+    be OFF because interpret-mode Pallas lowers block indexing through
+    dynamic_slice ops it rejects (jax hlo_interpreter limitation); vma is
+    type-checked by the real Mosaic lowering on TPU, where every benchmark
+    runs the fused path (see make_train_chunk's docstring)."""
     from gmvae_tpu.ops.kernels import fused_elbo
     monkeypatch.setattr(fused_elbo, 'is_supported', lambda: True)
-    # per-shard batch 64/8 = 8 = one full tile (no padding closures); the
-    # replication checker is scoped OFF here because interpret-mode Pallas
-    # lowers block indexing through dynamic_slice ops whose index constants
-    # the checker rejects (jax hlo_interpreter.py vma limitation — the
-    # training default stays check_vma=True, and the real Mosaic lowering
-    # type-checks vma on TPU; see make_train_chunk's docstring)
+    # dp_devices pinned to 8: per-shard batch 64/8 = 8 = one full tile, so
+    # no padding closures are emitted regardless of ambient device count
     cfg = configs.synthetic_tiny(batch_size=64, fused=True, steps=2,
                                  scan_steps=2, enc_hidden=(16, 16),
-                                 dec_hidden=(16, 16))
+                                 dec_hidden=(16, 16), dp_devices=N_DEV)
     trainer = train_lib.Trainer(cfg)
     assert trainer.model.head_fn is fused_elbo.fused_mixture_elbo
     chunk = train_lib.make_train_chunk(trainer.model, cfg, trainer.mesh,
