@@ -58,6 +58,8 @@ def build_parser() -> argparse.ArgumentParser:
     common(b)
     b.add_argument('--steps', type=int, default=2000)
 
+    sub.add_parser('configs', help='list the named configs')
+
     lt = sub.add_parser('latent',
                         help='latent-space scatter plot from checkpoint')
     common(lt)
@@ -68,6 +70,15 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+
+    if args.verb == 'configs':   # no jax import needed — instant
+        from gmvae_tpu import configs as cfg_lib
+        for name in sorted(cfg_lib.CONFIGS):
+            c = cfg_lib.get_config(name)
+            print(f'{name:16s} dataset={c.dataset:15s} arch={c.arch:7s} '
+                  f'K={c.n_components:<3d} D={c.latent_dim:<4d} '
+                  f'batch={c.batch_size:<5d} likelihood={c.likelihood}')
+        return 0
 
     # import after arg parsing so --help is instant
     import jax
