@@ -8,11 +8,17 @@ Public API (BASELINE.json:5): ``train``, ``eval_elbo``, ``sample``,
 ``reconstruct``, ``cluster_assign``.
 """
 
+import importlib.metadata
+
 from gmvae_tpu.api import (cluster_assign, cluster_metrics, eval_elbo,
                            latent_embed, reconstruct, sample, train)
 from gmvae_tpu.configs import CONFIGS, Config, get_config
 
-__version__ = '0.1.0'
+try:
+    # single source of truth: pyproject.toml [project] version
+    __version__ = importlib.metadata.version('gmvae-tpu')
+except importlib.metadata.PackageNotFoundError:  # running from a checkout
+    __version__ = '0.0.0+uninstalled'
 
 __all__ = [
     'train', 'eval_elbo', 'sample', 'reconstruct', 'cluster_assign',

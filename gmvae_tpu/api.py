@@ -17,7 +17,17 @@ import numpy as np
 
 from gmvae_tpu import training as train_lib
 from gmvae_tpu.configs import Config, get_config
+from gmvae_tpu.parallel import mesh as mesh_lib
 from gmvae_tpu.utils import metrics as metrics_lib
+
+
+def _put(trainer: train_lib.Trainer, host_array):
+    """Replicate a host array onto the trainer's full mesh. Multi-host, a
+    plain ``jnp.asarray`` would be a process-local array that cannot feed a
+    jit whose other inputs (the params) span processes — every verb
+    therefore routes host inputs through ``put_global``."""
+    from jax.sharding import PartitionSpec as P
+    return mesh_lib.put_global(trainer.mesh, P(), host_array)
 
 
 def train(cfg: Config | str, dataset=None, resume: bool = False,
@@ -50,7 +60,7 @@ def eval_elbo(trainer: train_lib.Trainer, state: train_lib.TrainState,
     """
     if dataset is not None:
         return train_lib.evaluate(trainer.eval_step, trainer.cfg,
-                                  state.params, dataset.test_x,
+                                  trainer.mesh, state.params, dataset.test_x,
                                   dataset.test_y, int(state.step))
     return trainer.evaluate(state, max_examples=max_examples)
 
@@ -68,7 +78,9 @@ def sample(trainer: train_lib.Trainer, state: train_lib.TrainState,
         return model.apply({'params': params}, key, n, component,
                            method=model.sample)
 
-    out = go(state.params, jax.random.PRNGKey(seed), n, component)
+    key = jax.device_put(jax.random.PRNGKey(seed),
+                         mesh_lib.replicated(trainer.mesh))
+    out = go(state.params, key, n, component)
     return np.asarray(out)
 
 
@@ -86,7 +98,7 @@ def reconstruct(trainer: train_lib.Trainer, state: train_lib.TrainState,
 
     x = np.asarray(x)
     xf = x.astype(np.float32) / 255.0 if x.dtype == np.uint8 else x
-    return np.asarray(go(state.params, jnp.asarray(xf)))
+    return np.asarray(go(state.params, _put(trainer, xf)))
 
 
 def cluster_assign(trainer: train_lib.Trainer, state: train_lib.TrainState,
@@ -102,7 +114,7 @@ def cluster_assign(trainer: train_lib.Trainer, state: train_lib.TrainState,
 
     x = np.asarray(x)
     xf = x.astype(np.float32) / 255.0 if x.dtype == np.uint8 else x
-    outs = [np.asarray(go(state.params, jnp.asarray(xf[i:i + batch_size])))
+    outs = [np.asarray(go(state.params, _put(trainer, xf[i:i + batch_size])))
             for i in range(0, xf.shape[0], batch_size)]
     return np.concatenate(outs) if outs else np.zeros((0,), np.int32)
 
@@ -123,7 +135,7 @@ def latent_embed(trainer: train_lib.Trainer, state: train_lib.TrainState,
     xf = x.astype(np.float32) / 255.0 if x.dtype == np.uint8 else x
     zs, qs = [], []
     for i in range(0, xf.shape[0], batch_size):
-        z, q = go(state.params, jnp.asarray(xf[i:i + batch_size]))
+        z, q = go(state.params, _put(trainer, xf[i:i + batch_size]))
         zs.append(np.asarray(z))
         qs.append(np.asarray(q))
     return np.concatenate(zs), np.concatenate(qs)

@@ -71,11 +71,12 @@ def run_bench(cfg=None, steps: int = 2000, scan_steps: int = 200,
                    else f'{cfg.name}_train_throughput'),
         'value': round(img_per_sec_chip, 1),
         'unit': 'images/sec/chip',
-        # the 50k img/s north-star is MNIST-specific (BASELINE.json:5);
-        # other configs have no published baseline to ratio against
-        'vs_baseline': (round(img_per_sec_chip / 50_000.0, 4) if flagship
-                        else None),
     }
+    if flagship:
+        # the 50k img/s north-star is MNIST-specific (BASELINE.json:5);
+        # other configs have no published baseline to ratio against, so
+        # the key is omitted rather than emitted as JSON null
+        result['vs_baseline'] = round(img_per_sec_chip / 50_000.0, 4)
     extra = {'steps': n_chunks * scan_steps, 'seconds': dt,
              'chips': n_chips, 'batch': cfg.batch_size,
              'backend': jax.default_backend(),

@@ -38,11 +38,18 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument('--grids', action='store_true',
                    help='save sample/reconstruction PNG grids per eval')
 
+    def ckpt_arg(sp):
+        sp.add_argument('--ckpt', default=None, metavar='PATH',
+                        help='checkpoint file to restore (default: newest '
+                             'ckpt_*.msgpack in the run dir)')
+
     e = sub.add_parser('eval', help='eval ELBO + clustering from checkpoint')
     common(e)
+    ckpt_arg(e)
 
     s = sub.add_parser('sample', help='generate a sample grid from checkpoint')
     common(s)
+    ckpt_arg(s)
     s.add_argument('--n', type=int, default=64)
     s.add_argument('--component', type=int, default=None)
     s.add_argument('--out', default=None)
@@ -51,6 +58,7 @@ def build_parser() -> argparse.ArgumentParser:
                        help='reconstruction grid (originals | recons) for '
                             'the first N test images, from checkpoint')
     common(r)
+    ckpt_arg(r)
     r.add_argument('--n', type=int, default=32)
     r.add_argument('--out', default=None)
 
@@ -63,6 +71,7 @@ def build_parser() -> argparse.ArgumentParser:
     lt = sub.add_parser('latent',
                         help='latent-space scatter plot from checkpoint')
     common(lt)
+    ckpt_arg(lt)
     lt.add_argument('--n', type=int, default=2048)
     lt.add_argument('--out', default=None)
     return p
@@ -116,7 +125,10 @@ def main(argv=None) -> int:
             trainer = train_lib.Trainer(cfg)
             state = trainer.init_state()
             run_dir = os.path.join(cfg.run_dir, cfg.name)
-            path = ckpt_lib.latest_ckpt(run_dir)
+            path = getattr(args, 'ckpt', None) or ckpt_lib.latest_ckpt(run_dir)
+            if path and not os.path.exists(path):
+                print(f'error: checkpoint {path!r} not found', file=sys.stderr)
+                return 2
             if path:
                 tree = ckpt_lib.restore_ckpt(path,
                                              trainer.state_to_tree(state))

@@ -98,6 +98,7 @@ class Config:
     # io
     run_dir: str = 'runs'
     ckpt_every: int = 5_000
+    ckpt_keep: int = 3                # retain newest N snapshots; 0 = all
 
     def replace(self, **kw) -> 'Config':
         return dataclasses.replace(self, **kw)

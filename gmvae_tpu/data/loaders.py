@@ -103,6 +103,14 @@ def _from_idx(name: str, data_dir: str) -> Optional[Dataset]:
                       stem, stem + '.gz'):
             p = os.path.join(data_dir, fname)
             if os.path.exists(p):
+                if not fname.startswith(f'{name}_'):
+                    # mnist and fmnist idx files are shape-identical, so a
+                    # bare file could silently be the OTHER dataset
+                    warnings.warn(
+                        f'loading un-prefixed idx file {p!r} for dataset '
+                        f'{name!r}; rename it {name}_{fname} to silence '
+                        f'this (bare mnist/fmnist files are '
+                        f'indistinguishable by shape)', stacklevel=4)
                 return p
         return None
 
@@ -131,6 +139,77 @@ def _from_idx(name: str, data_dir: str) -> Optional[Dataset]:
                    test_y=ey)
 
 
+# CelebA evaluation-label semantics: Hungarian ACC matches K clusters to
+# label classes, so labels must have <= K (=64, configs.celeba_dp16)
+# classes to be meaningful — the ~10k-class identity labeling would make
+# ACC structurally vacuous. The label is therefore built from these five
+# binary attributes of the official ``list_attr_celeba.txt`` sidecar
+# (2^5 = 32 classes), chosen for visual salience (they move pixels a VAE
+# can see): label = sum_i 2^i * [attr_i positive].
+CELEBA_LABEL_ATTRS = ('Male', 'Smiling', 'Eyeglasses', 'Wearing_Hat',
+                      'Blond_Hair')
+
+
+def _wait_for_sibling_npz(data_dir: str, timeout_s: float = 1800.0
+                          ) -> Optional[Dataset]:
+    """Multi-process: non-zero processes wait for process 0's celeba.npz
+    cache instead of each decoding all ~200k JPEGs concurrently."""
+    import time
+    path = os.path.join(data_dir, 'celeba.npz')
+    deadline = time.time() + timeout_s
+    while time.time() < deadline:
+        if os.path.exists(path):
+            return _from_npz('celeba', data_dir)
+        time.sleep(2.0)
+    raise TimeoutError(
+        f'process waited {timeout_s:.0f}s for {path} (written by process 0 '
+        f'after its JPEG decode) — pre-build the cache with '
+        f'tools/fetch_datasets.py if the decode exceeds this')
+
+
+def _celeba_labels(attr_path: Optional[str],
+                   ident_path: Optional[str]) -> dict:
+    """filename -> eval label. Prefers the 32-class attribute code
+    (CELEBA_LABEL_ATTRS) from list_attr_celeba.txt; falls back to remapped
+    identities (warned: vacuous for Hungarian ACC at K=64), else {}."""
+    if attr_path:
+        with open(attr_path) as f:
+            lines = f.read().splitlines()
+        # official format: line 1 = count, line 2 = attribute names header
+        for hdr_i, line in enumerate(lines[:3]):
+            cols = line.split()
+            if all(a in cols for a in CELEBA_LABEL_ATTRS):
+                bit_cols = [cols.index(a) for a in CELEBA_LABEL_ATTRS]
+                labels = {}
+                for line in lines[hdr_i + 1:]:
+                    parts = line.split()
+                    # header lacks the filename column -> attrs are parts[1:]
+                    if len(parts) == len(cols) + 1:
+                        labels[parts[0]] = sum(
+                            (parts[1 + c] == '1') << i
+                            for i, c in enumerate(bit_cols))
+                if labels:
+                    return labels
+        warnings.warn(
+            f'{attr_path!r} missing attributes {CELEBA_LABEL_ATTRS}; '
+            f'falling back to identity labels', stacklevel=3)
+    if ident_path:
+        warnings.warn(
+            'celeba labels from identity_CelebA.txt (~10k classes): '
+            'Hungarian ACC against K=64 clusters is structurally vacuous — '
+            'provide list_attr_celeba.txt for the 32-class attribute '
+            'labeling', stacklevel=3)
+        identity = {}
+        with open(ident_path) as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) == 2:
+                    identity[parts[0]] = int(parts[1])
+        remap = {v: i for i, v in enumerate(sorted(set(identity.values())))}
+        return {k: remap[v] for k, v in identity.items()}
+    return {}
+
+
 def _from_celeba_dir(data_dir: str) -> Optional[Dataset]:
     """First-class CelebA loader: reads the standard aligned-JPEG
     distribution (``img_align_celeba/*.jpg``, 178x218, as published on the
@@ -138,16 +217,25 @@ def _from_celeba_dir(data_dir: str) -> Optional[Dataset]:
     step. Preprocessing is the common VAE recipe: center-crop 148x148, then
     bilinear resize to 64x64.
 
+    Host-memory envelope: the full 202,599-image decode holds one uint8
+    [N,64,64,3] tensor ≈ 2.5 GB (plus one decoded JPEG per worker thread);
+    the npz cache compresses to ~1.9 GB on disk.
+
     Optional sidecar files, used when present:
       - ``list_eval_partition.txt`` (filename 0|1|2): 0/1 -> train, 2 -> test
         (the official split; val folds into train as the reference-style
         trainers do). Absent: last 10% of filenames (sorted) become test.
-      - ``identity_CelebA.txt`` (filename identity): labels for the
-        EVALUATION-ONLY metrics, remapped to contiguous ints. Absent: labels
-        are all zero (training is unsupervised; ACC/NMI are then vacuous).
+      - ``list_attr_celeba.txt``: EVALUATION-ONLY labels from the 5 binary
+        attributes in ``CELEBA_LABEL_ATTRS`` (32 classes <= K=64 — see the
+        comment above; identity labels would make Hungarian ACC vacuous).
+        Absent: falls back to ``identity_CelebA.txt`` remapped to contiguous
+        ints (with a warning — ACC is then meaningless at ~10k classes),
+        else labels are all zero (training is unsupervised either way).
 
     The decoded uint8 tensor is cached as ``celeba.npz`` in ``data_dir`` so
     the JPEG decode (~200k images) happens once; later loads hit _from_npz.
+    Multi-process runs decode on process 0 only — other processes block on
+    the cache file appearing.
     """
     for root in (os.path.join(data_dir, 'img_align_celeba'),
                  os.path.join(data_dir, 'celeba', 'img_align_celeba')):
@@ -159,6 +247,19 @@ def _from_celeba_dir(data_dir: str) -> Optional[Dataset]:
                    if f.lower().endswith(('.jpg', '.jpeg', '.png')))
     if not names:
         return None
+
+    # duplicate-work guard (jax.distributed multi-host): only process 0
+    # decodes + writes the cache. Lazy import: jax may legitimately be
+    # uninitialized in offline tools; treat that as single-process.
+    try:
+        import jax
+        multi = jax.process_count() > 1
+        is_zero = jax.process_index() == 0
+    except Exception:
+        multi, is_zero = False, True
+    if multi and not is_zero:
+        return _wait_for_sibling_npz(data_dir)
+
     from PIL import Image
 
     side = os.path.dirname(root)
@@ -170,8 +271,7 @@ def _from_celeba_dir(data_dir: str) -> Optional[Dataset]:
                 return p
         return None
 
-    part_p, ident_p = sidecar('list_eval_partition.txt'), (
-        sidecar('identity_CelebA.txt'))
+    part_p = sidecar('list_eval_partition.txt')
     partition = {}
     if part_p:
         with open(part_p) as f:
@@ -179,14 +279,9 @@ def _from_celeba_dir(data_dir: str) -> Optional[Dataset]:
                 parts = line.split()
                 if len(parts) == 2 and parts[1] in ('0', '1', '2'):
                     partition[parts[0]] = int(parts[1])
-    identity = {}
-    if ident_p:
-        with open(ident_p) as f:
-            for line in f:
-                parts = line.split()
-                if len(parts) == 2:
-                    identity[parts[0]] = int(parts[1])
-    remap = {v: i for i, v in enumerate(sorted(set(identity.values())))}
+
+    labels = _celeba_labels(sidecar('list_attr_celeba.txt'),
+                            sidecar('identity_CelebA.txt'))
 
     h, w, _ = _SHAPES['celeba']
     xs = np.empty((len(names), h, w, 3), np.uint8)
@@ -209,7 +304,7 @@ def _from_celeba_dir(data_dir: str) -> Optional[Dataset]:
     with ThreadPoolExecutor(max_workers=min(32, os.cpu_count() or 1)) as ex:
         list(ex.map(decode, enumerate(names), chunksize=256))
     for i, fname in enumerate(names):
-        ys[i] = remap.get(identity.get(fname, -1), 0)
+        ys[i] = labels.get(fname, 0)
         is_test[i] = (partition[fname] == 2 if fname in partition
                       else i >= len(names) - n_fallback_test)
 

@@ -35,18 +35,27 @@ def preprocess_batch(key: jax.Array, x_uint8: jax.Array,
 
 
 def epoch_batch_indices(key: jax.Array, n_data: int, batch_size: int,
-                        n_steps: int) -> jax.Array:
-    """Device-resident batch index plan: ``[n_steps, batch_size]`` int32.
+                        n_steps: int, start_step: int = 0) -> jax.Array:
+    """Device-resident batch index plan: ``[n_steps, batch_size]`` int32
+    covering steps ``[start_step, start_step + n_steps)``.
 
     Draws a fresh permutation per epoch (epoch = floor(n_data/batch) steps)
-    and tiles epochs until ``n_steps`` is covered; the remainder of each
+    and tiles epochs until the window is covered; the remainder of each
     permutation is dropped (classic drop-last batching). Runs entirely on
     device so the hot loop's data selection is a gather, not a host feed.
+
+    Windowed generation materializes only the epochs the window touches, so
+    a long run can build its plan chunk by chunk in O(chunk) device memory.
+    Identical trajectories regardless of chunking: ``jax.random.split(key,
+    n)`` is prefix-stable in ``n`` (counter-based threefry), so epoch ``e``'s
+    permutation is a pure function of ``(key, e)``.
     """
     steps_per_epoch = max(1, n_data // batch_size)
-    n_epochs = -(-n_steps // steps_per_epoch)  # cdiv
-    keys = jax.random.split(key, n_epochs)
+    e0 = start_step // steps_per_epoch
+    e1 = -(-(start_step + n_steps) // steps_per_epoch)  # cdiv
+    keys = jax.random.split(key, e1)[e0:]
     perms = jax.vmap(lambda k: jax.random.permutation(k, n_data))(keys)
     idx = perms[:, :steps_per_epoch * batch_size]
-    idx = idx.reshape(n_epochs * steps_per_epoch, batch_size)
-    return idx[:n_steps].astype(jnp.int32)
+    idx = idx.reshape((e1 - e0) * steps_per_epoch, batch_size)
+    off = start_step - e0 * steps_per_epoch
+    return idx[off:off + n_steps].astype(jnp.int32)

@@ -9,7 +9,7 @@ Design
 ------
 One grid over batch tiles; per tile, entirely in VMEM/VPU:
 
-    noise (on-chip threefry / hw PRNG / streamed threefry)
+    noise (on-chip threefry / streamed threefry)
       -> Gumbel-softmax relaxation y = softmax((logits + g)/tau)
       -> parameter mixing  mean/logvar = y . q_means / y . q_logvars
       -> Gaussian reparameterization  z = mean + exp(logvar/2) * eps
@@ -27,9 +27,10 @@ Noise modes (``noise_mode``):
   * ``'xla'`` — Gumbel/normal noise is drawn OUTSIDE with ``jax.random``
     and streamed in. Bit-compatible with the jnp golden path
     ``ops.elbo.mixture_elbo_head``; interpret mode makes it CPU-runnable.
-  * ``'hw'`` — the TPU's per-core hardware PRNG
-    (`pltpu.prng_seed`/`prng_random_bits`), seeded per batch-tile from the
-    threefry key. Fastest, streams differ from threefry bit-wise.
+(A third mode using the TPU's per-core hardware PRNG existed through round
+2; it was retired in round 3 — measured slower than the counter-based
+threefry path, whose replayability also removes all noise residuals, and
+its per-tile seeding used only half the key, a latent correctness trap.)
 
 Backward pass (``custom_vjp``, single hand-derived Pallas kernel in
 ops/kernels/fused_elbo_bwd.py): noise handling is mode-dependent —
@@ -39,8 +40,6 @@ ops/kernels/fused_elbo_bwd.py): noise handling is mode-dependent —
     through HBM every step (this is what makes the fused path faster than
     the XLA-fused jnp head, not just equal to it).
   * ``'xla'`` — the caller's streamed-in noise arrays ARE the residuals.
-  * ``'hw'`` — the kernel emits its noise as residual outputs (the hw PRNG
-    stream is per-tile sequential, not element-counter replayable).
 A jnp-replay backward (``jax.vjp`` of ``ops.elbo.head_from_noise``, the
 single source of the head's math) remains available as the validation
 oracle via ``BWD_IMPL = 'replay'``.
@@ -62,9 +61,8 @@ from gmvae_tpu.ops.kernels import threefry
 
 LOG2PI = math.log(2.0 * math.pi)
 _TWO_PI = 2.0 * math.pi
-_U24 = 1.0 / (1 << 24)
 
-_MODES = ('threefry', 'xla', 'hw')
+_MODES = ('threefry', 'xla')
 
 
 def is_supported() -> bool:
@@ -76,13 +74,6 @@ def is_supported() -> bool:
 # ---------------------------------------------------------------------------
 # kernel body
 # ---------------------------------------------------------------------------
-
-
-def _hw_uniform(shape):
-    """uint32 hw-PRNG bits -> f32 uniform in (0,1) (Mosaic-safe casts)."""
-    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
-    i24 = pltpu.bitcast(bits >> jnp.uint32(8), jnp.int32)
-    return jnp.maximum(i24.astype(jnp.float32) * _U24, _U24)
 
 
 def _tile_threefry_noise(key_ref, tb: int, k: int, d: int):
@@ -124,18 +115,18 @@ def _tile_threefry_noise(key_ref, tb: int, k: int, d: int):
 
 def _split_io(rest, noise_mode: str):
     """Unpack a kernel's ``*rest`` refs, shared by both layout variants:
-    ['xla': g_in, eps_in], z, y, scal, ['hw': g_out, eps_out]."""
+    ['xla': g_in, eps_in], z, y, scal."""
     refs = list(rest)
     g_in_ref = eps_in_ref = None
     if noise_mode == 'xla':
         g_in_ref, eps_in_ref = refs[:2]
         refs = refs[2:]
     z_ref, y_ref, scal_ref = refs[:3]
-    return g_in_ref, eps_in_ref, z_ref, y_ref, scal_ref, refs[3:]
+    return g_in_ref, eps_in_ref, z_ref, y_ref, scal_ref
 
 
 def _noise_and_gumbel(key_ref, tau_ref, k_logits_ref, g_in_ref, eps_in_ref,
-                      noise_out, tb: int, k: int, d: int, hard: bool,
+                      tb: int, k: int, d: int, hard: bool,
                       noise_mode: str):
     """Noise acquisition + Gumbel-softmax relaxation, single-sourced for the
     3-D and flat kernels. Returns (g, eps, k_logits_f32, y)."""
@@ -145,22 +136,9 @@ def _noise_and_gumbel(key_ref, tau_ref, k_logits_ref, g_in_ref, eps_in_ref,
         # backward kernel regenerates the identical bits instead of round-
         # tripping [B,K]+[B,D] noise through HBM every step
         g, eps = _tile_threefry_noise(key_ref, tb, k, d)
-    elif noise_mode == 'hw':
-        # per-tile stream: threefry-derived base seed + tile id. NOT a
-        # counter-based pure function of the element index, so the noise IS
-        # emitted as residuals for the backward pass.
-        pltpu.prng_seed(key_ref[0, 0] + pl.program_id(0))
-        u_g = _hw_uniform((tb, k))
-        g = -jnp.log(-jnp.log(u_g))
-        u1 = _hw_uniform((tb, d))
-        u2 = _hw_uniform((tb, d))
-        eps = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
     else:  # 'xla': streamed in (residuals are the caller's own noise arrays)
         g = g_in_ref[:]
         eps = eps_in_ref[:]
-    if noise_out:
-        noise_out[0][:] = g
-        noise_out[1][:] = eps
 
     tau = tau_ref[0, 0]
     k_logits = k_logits_ref[:].astype(f32)
@@ -186,16 +164,15 @@ def _kernel(key_ref,           # SMEM (1,2) int32: threefry key halves
             p_logvars_ref,     # VMEM (K, D)
             *rest,             # ['xla': g_in (TB,K), eps_in (TB,D)]
                                # outputs: z (TB,D), y (TB,K), scal (TB,8)
-                               # ['hw': g_out (TB,K), eps_out (TB,D)]
             hard: bool, noise_mode: str):
-    g_in_ref, eps_in_ref, z_ref, y_ref, scal_ref, noise_out = _split_io(
+    g_in_ref, eps_in_ref, z_ref, y_ref, scal_ref = _split_io(
         rest, noise_mode)
     tb, k = k_logits_ref.shape
     d = z_ref.shape[-1]
     f32 = jnp.float32
 
     g, eps, k_logits, y = _noise_and_gumbel(
-        key_ref, tau_ref, k_logits_ref, g_in_ref, eps_in_ref, noise_out,
+        key_ref, tau_ref, k_logits_ref, g_in_ref, eps_in_ref,
         tb, k, d, hard, noise_mode)
     y_ref[:] = y
 
@@ -309,13 +286,13 @@ def _kernel_flat(key_ref,          # SMEM (1,2) int32
                  pm_ref,           # VMEM (1, N)   flattened prior means
                  plv_ref,          # VMEM (1, N)
                  *rest, k: int, d: int, hard: bool, noise_mode: str):
-    g_in_ref, eps_in_ref, z_ref, y_ref, scal_ref, noise_out = _split_io(
+    g_in_ref, eps_in_ref, z_ref, y_ref, scal_ref = _split_io(
         rest, noise_mode)
     tb = k_logits_ref.shape[0]
     f32 = jnp.float32
 
     g, eps, k_logits, y = _noise_and_gumbel(
-        key_ref, tau_ref, k_logits_ref, g_in_ref, eps_in_ref, noise_out,
+        key_ref, tau_ref, k_logits_ref, g_in_ref, eps_in_ref,
         tb, k, d, hard, noise_mode)
     y_ref[:] = y
     e, et, p, pt = _selectors(k, d)
@@ -439,12 +416,9 @@ def _fused_forward(key_f, tau, k_logits, q_means, q_logvars,
 
     vma = vma_union(key_f, tau, k_logits, q_means, q_logvars, pi_logits,
                     p_means, p_logvars, g_in, eps_in)
-    # noise residual traffic is mode-dependent (module docstring):
-    #   threefry — NONE (backward regenerates bit-identical noise on-chip)
-    #   xla      — none from the kernel (the streamed-in arrays ARE the
-    #              residuals); they are also kernel inputs
-    #   hw       — emitted (hw PRNG is not element-counter replayable)
-    emit_noise = noise_mode == 'hw'
+    # no noise residual traffic in either mode (module docstring): threefry
+    # regenerates bit-identical noise on-chip in the backward; xla's
+    # streamed-in arrays ARE the residuals and are already kernel inputs
     flat = use_flat_layout(k, d)
     if flat:
         n = k * d
@@ -472,10 +446,6 @@ def _fused_forward(key_f, tau, k_logits, q_means, q_logvars,
         jax.ShapeDtypeStruct((bp, 8), jnp.float32, vma=vma),   # packed scalars
     ]
     out_specs = [tile(tb, d), tile(tb, k), tile(tb, 8)]
-    if emit_noise:
-        out_shape += [jax.ShapeDtypeStruct((bp, k), jnp.float32, vma=vma),
-                      jax.ShapeDtypeStruct((bp, d), jnp.float32, vma=vma)]
-        out_specs += [tile(tb, k), tile(tb, d)]
 
     if flat:
         kernel = functools.partial(_kernel_flat, k=k, d=d, hard=hard,
@@ -492,11 +462,8 @@ def _fused_forward(key_f, tau, k_logits, q_means, q_logvars,
     )(*operands)
     if bp != b:
         outs = tuple(a[:b] for a in outs)
-    if emit_noise:
-        z, y, scal, g, eps = outs
-    else:
-        (z, y, scal), g, eps = outs, None, None
-    return z, y, scal, g, eps
+    z, y, scal = outs
+    return z, y, scal
 
 
 # ---------------------------------------------------------------------------
@@ -518,7 +485,7 @@ def _fused_head(key_f, tau, k_logits, q_means, q_logvars,
                 pi_logits, p_means, p_logvars, noise,
                 hard: bool, noise_mode: str, interpret: bool):
     g_in, eps_in = noise
-    z, y, scal, g, eps = _fused_forward(
+    z, y, scal = _fused_forward(
         key_f, tau, k_logits, q_means, q_logvars, pi_logits, p_means,
         p_logvars, g_in, eps_in, hard, noise_mode, interpret)
     return (z, y, scal[:, 0], scal[:, 1], scal[:, 2], scal[:, 3], scal[:, 4])
@@ -528,17 +495,14 @@ def _fused_head_fwd(key_f, tau, k_logits, q_means, q_logvars,
                     pi_logits, p_means, p_logvars, noise,
                     hard, noise_mode, interpret):
     g_in, eps_in = noise
-    z, y, scal, g, eps = _fused_forward(
+    z, y, scal = _fused_forward(
         key_f, tau, k_logits, q_means, q_logvars, pi_logits, p_means,
         p_logvars, g_in, eps_in, hard, noise_mode, interpret)
     if noise_mode == 'threefry':
         # counter-based noise: regenerated in the backward from (key, index)
         res_noise = (None, None)
-    elif noise_mode == 'xla':
-        # the streamed-in arrays are the residuals — nothing new to store
+    else:  # xla: the streamed-in arrays are the residuals — nothing to store
         res_noise = (g_in, eps_in)
-    else:  # hw: kernel-emitted residuals
-        res_noise = (g, eps)
     res = (*res_noise, key_f, tau, k_logits, q_means, q_logvars, pi_logits,
            p_means, p_logvars)
     out = (z, y, scal[:, 0], scal[:, 1], scal[:, 2], scal[:, 3], scal[:, 4])
@@ -624,12 +588,10 @@ def fused_mixture_elbo(key: jax.Array,
 
     ``noise_mode``: 'threefry' (on-chip threefry-2x32, default on TPU),
     'xla' (threefry noise streamed in, bit-equal to the golden path,
-    default off-TPU), 'hw' (TPU hardware PRNG, fastest).
+    default off-TPU).
     """
     if noise_mode is None:
         noise_mode = 'threefry' if jax.default_backend() == 'tpu' else 'xla'
-    if noise_mode == 'tpu':  # back-compat alias
-        noise_mode = 'hw'
     if noise_mode not in _MODES:
         raise ValueError(f'noise_mode must be one of {_MODES}')
     if interpret is None:

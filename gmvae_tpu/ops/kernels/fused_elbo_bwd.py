@@ -2,9 +2,10 @@
 
 SURVEY.md §7.3 hard part #1: "The fused Pallas kernel's backward pass —
 hand-managing residuals for custom_vjp, PRNG bits replayable." The noise is
-replayed from the residuals the forward kernel emits; this module derives
-the full chain rule analytically so the backward is ONE Pallas kernel
-instead of an XLA re-differentiation of the replay.
+regenerated on-chip from (key, element counter) in threefry mode — no noise
+residuals at all — or taken from the caller's streamed-in arrays in xla
+mode; this module derives the full chain rule analytically so the backward
+is ONE Pallas kernel instead of an XLA re-differentiation of the replay.
 
 ``manual_bwd`` is the jnp statement of the math — validated against
 ``jax.vjp`` of ``ops.elbo.head_from_noise`` bit-for-intent in

@@ -215,7 +215,11 @@ def make_eval_step(model: GMVAE, cfg: Config, mesh):
     """Global-jit eval batch: per-sample ELBO + cluster assignment.
 
     Uses XLA's sharding propagation (batch sharded over 'data', params
-    replicated) instead of shard_map — eval has no collectives to place.
+    replicated) instead of shard_map — eval has no collectives to place
+    beyond the output all-gather. Outputs are REPLICATED so every process
+    of a multi-host mesh holds the full per-sample arrays: the host-side
+    metric reduction (Hungarian ACC, NMI, means) then computes identically
+    on every process with no cross-process gather of its own.
     """
     def eval_step(params, batch_u8, key, step):
         k_pre, k_elbo = jax.random.split(key)
@@ -241,7 +245,7 @@ def make_eval_step(model: GMVAE, cfg: Config, mesh):
     bsh = NamedSharding(mesh, P(DATA))
     return jax.jit(eval_step,
                    in_shardings=(repl, bsh, repl, repl),
-                   out_shardings=(bsh, bsh, bsh))
+                   out_shardings=(repl, repl, repl))
 
 
 def pad_to_multiple(x: np.ndarray, multiple: int) -> Tuple[np.ndarray, int]:
@@ -252,10 +256,19 @@ def pad_to_multiple(x: np.ndarray, multiple: int) -> Tuple[np.ndarray, int]:
     return x, n
 
 
-def evaluate(eval_step, cfg: Config, params, test_x: np.ndarray,
+def evaluate(eval_step, cfg: Config, mesh, params, test_x: np.ndarray,
              test_y: Optional[np.ndarray], step: int,
              seed: int = 17, batch_size: Optional[int] = None) -> Dict[str, float]:
-    """Full test-set eval: ELBO (nats), clustering ACC/NMI (SURVEY.md §3.2/3.4)."""
+    """Full test-set eval: ELBO (nats), clustering ACC/NMI (SURVEY.md §3.2/3.4).
+
+    Multi-host-safe: every process holds the identical ``test_x`` (datasets
+    are deterministic from the config seed, or the same real files), each
+    eval batch is assembled into a GLOBAL array sharded over the data axis
+    (``put_global``), and the jitted step returns replicated outputs — so
+    this runs unmodified on a one-chip mesh or a v5e-16 pod slice, with
+    every process computing identical metrics (asserted by
+    tests/multihost/worker.py).
+    """
     bs = batch_size or cfg.batch_size
     xs, n = pad_to_multiple(np.asarray(test_x), bs)
     key = jax.random.PRNGKey(seed)
@@ -263,7 +276,8 @@ def evaluate(eval_step, cfg: Config, params, test_x: np.ndarray,
     step_arr = jnp.int32(step)
     for i in range(0, xs.shape[0], bs):
         k = jax.random.fold_in(key, i)
-        e, iw, y = eval_step(params, jnp.asarray(xs[i:i + bs]), k, step_arr)
+        batch = mesh_lib.put_global(mesh, P(DATA), xs[i:i + bs])
+        e, iw, y = eval_step(params, batch, k, step_arr)
         elbos.append(np.asarray(e))
         iwaes.append(np.asarray(iw))
         yhats.append(np.asarray(y))
@@ -342,21 +356,20 @@ class Trainer:
         block carries local row numbers, matching its x_all block.
         """
         plan_key = jax.random.fold_in(self.base_key, 1)
-        total = start_step + n_steps
         if self.cfg.data_sharding == 'sharded':
             b_local = self.cfg.batch_size // self.n_dp
             shard_keys = jax.vmap(lambda s: jax.random.fold_in(plan_key, s))(
                 jnp.arange(self.n_dp))
             plans = jax.vmap(lambda k: data_lib.epoch_batch_indices(
-                k, self.n_local, b_local, total))(shard_keys)
+                k, self.n_local, b_local, n_steps, start_step))(shard_keys)
             # [n_dp, S, b_local] -> [S, n_dp*b_local], columns grouped by
             # shard (NamedSharding partitions the axis contiguously in
             # device order, so shard s receives exactly its own block)
-            idx = jnp.transpose(plans, (1, 0, 2)).reshape(total, -1)
+            idx = jnp.transpose(plans, (1, 0, 2)).reshape(n_steps, -1)
         else:
             idx = data_lib.epoch_batch_indices(plan_key, self.n_local,
-                                               self.cfg.batch_size, total)
-        idx = idx[start_step:]
+                                               self.cfg.batch_size, n_steps,
+                                               start_step)
         return mesh_lib.put_global(self.mesh, P(None, DATA), idx)
 
     # -- loops ----------------------------------------------------------
@@ -368,8 +381,13 @@ class Trainer:
         xs, ys = self.dataset.test_x, self.dataset.test_y
         if max_examples:
             xs, ys = xs[:max_examples], ys[:max_examples]
-        return evaluate(self.eval_step, self.cfg, state.params, xs, ys,
-                        int(state.step))
+        return evaluate(self.eval_step, self.cfg, self.mesh, state.params,
+                        xs, ys, int(state.step))
+
+
+def _parse_ckpt_step(path: str) -> int:
+    """step N from a ``.../ckpt_N.msgpack`` path."""
+    return int(os.path.basename(path).split('_')[1].split('.')[0])
 
 
 def fit(cfg: Config, dataset: Optional[data_lib.Dataset] = None,
@@ -383,12 +401,24 @@ def fit(cfg: Config, dataset: Optional[data_lib.Dataset] = None,
     """
     trainer = Trainer(cfg, dataset)
     run_dir = os.path.join(cfg.run_dir, cfg.name)
-    logger = logger or RunLogger(run_dir)
+    proc0 = jax.process_index() == 0
+    logger = logger or RunLogger(run_dir, echo=proc0, write=proc0)
     state = trainer.init_state()
 
     if resume:
-        path = ckpt_lib.latest_ckpt(run_dir)
-        if path:
+        # multi-host: process 0 (the checkpoint writer) decides which step
+        # to resume from and broadcasts it, so every process takes the same
+        # branch even when filesystems are not shared consistently; each
+        # process then reads the snapshot for that step from its own view
+        # of run_dir (shared fs, or a copy the launcher distributed)
+        path = ckpt_lib.latest_ckpt(run_dir) if proc0 else None
+        step0 = _parse_ckpt_step(path) if path else -1
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            step0 = int(multihost_utils.broadcast_one_to_all(
+                np.int32(step0)))
+        if step0 >= 0:
+            path = os.path.join(run_dir, f'ckpt_{step0}.msgpack')
             tree = ckpt_lib.restore_ckpt(path, trainer.state_to_tree(state))
             state = trainer.tree_to_state(tree)
             logger.log({'event': 'resume', 'from': path,
@@ -397,27 +427,35 @@ def fit(cfg: Config, dataset: Optional[data_lib.Dataset] = None,
     start = int(state.step)
     total = cfg.steps
     chunk = max(1, cfg.scan_steps)
-    idx_plan = trainer.batch_plan(total - start, start_step=start)
+    n_chips = jax.device_count()
 
     history = []
     t_last = time.perf_counter()
     imgs_since = 0
     pos = 0
     first_timing = True  # first window includes jit compile
-    while pos < idx_plan.shape[0]:
-        s = min(chunk, idx_plan.shape[0] - pos)
-        state, _ = trainer.run_chunk(state, idx_plan[pos:pos + s])
+    while start + pos < total:
+        s = min(chunk, total - (start + pos))
+        # per-chunk plan generation: O(chunk) device memory instead of an
+        # O(total-steps) resident plan array; trajectories are unchanged
+        # (epoch_batch_indices windows the same permutation stream)
+        state, _ = trainer.run_chunk(
+            state, trainer.batch_plan(s, start_step=start + pos))
         pos += s
         imgs_since += s * cfg.batch_size
         step_now = start + pos
 
-        if step_now % cfg.eval_every < s or pos >= idx_plan.shape[0]:
+        if step_now % cfg.eval_every < s or step_now >= total:
             # device->host fetch as a real fence (block_until_ready does not
             # synchronize on the axon remote platform)
             int(jax.device_get(state.step))
             dt = time.perf_counter() - t_last
+            # batch_size is GLOBAL, so per-chip divides by the GLOBAL
+            # device count (SURVEY.md §5.5 specifies img_per_sec_per_chip)
+            rate = imgs_since / max(dt, 1e-9)
             row = {'step': step_now,
-                   'img_per_sec': imgs_since / max(dt, 1e-9)}
+                   'img_per_sec_per_chip': rate / n_chips,
+                   'img_per_sec_global': rate}
             if first_timing:
                 row['includes_compile'] = True  # don't quote this one
                 first_timing = False
@@ -430,19 +468,26 @@ def fit(cfg: Config, dataset: Optional[data_lib.Dataset] = None,
             imgs_since = 0
 
         if cfg.ckpt_every and (step_now % cfg.ckpt_every < s
-                               or pos >= idx_plan.shape[0]):
+                               or step_now >= total):
             ckpt_lib.save_ckpt(
                 os.path.join(run_dir, f'ckpt_{step_now}.msgpack'),
                 trainer.state_to_tree(state))
+            ckpt_lib.prune_ckpts(run_dir, keep=cfg.ckpt_keep)
 
     return trainer, state, history
 
 
 def _save_grids(trainer: Trainer, state: TrainState, run_dir: str,
                 step: int) -> None:
-    """Sample + reconstruction PNG grids (reference's qualitative outputs)."""
+    """Sample + reconstruction PNG grids (reference's qualitative outputs).
+
+    Multi-host: the jitted computations run on EVERY process (params are
+    global arrays, so all controllers must participate in the program);
+    only process 0 writes the PNGs.
+    """
     cfg = trainer.cfg
     model = trainer.model
+    repl = mesh_lib.replicated(trainer.mesh)
 
     @functools.partial(jax.jit)
     def gen(params, key):
@@ -452,18 +497,27 @@ def _save_grids(trainer: Trainer, state: TrainState, run_dir: str,
     def rec(params, x):
         return model.apply({'params': params}, x, method=model.reconstruct)
 
-    key = jax.random.fold_in(jax.random.PRNGKey(7), step)
+    key = jax.device_put(jax.random.fold_in(jax.random.PRNGKey(7), step),
+                         repl)
     samples = np.asarray(gen(state.params, key))
-    save_image_grid(os.path.join(run_dir, f'samples_{step}.png'), samples)
-    x = data_lib.normalize_image(jnp.asarray(trainer.dataset.test_x[:64]))
+    x_u8 = mesh_lib.put_global(trainer.mesh, P(),
+                               trainer.dataset.test_x[:64])
+    x = data_lib.normalize_image(x_u8)
     recon = np.asarray(rec(state.params, x))
-    both = np.stack([np.asarray(x), recon], 1).reshape(-1, *recon.shape[1:])
-    save_image_grid(os.path.join(run_dir, f'recon_{step}.png'), both, ncol=16)
+    proc0 = jax.process_index() == 0
+    if proc0:
+        save_image_grid(os.path.join(run_dir, f'samples_{step}.png'),
+                        samples)
+        both = np.stack([np.asarray(x), recon], 1).reshape(
+            -1, *recon.shape[1:])
+        save_image_grid(os.path.join(run_dir, f'recon_{step}.png'), both,
+                        ncol=16)
 
     # latent scatter (reference's qualitative latent plots)
     from gmvae_tpu import api as api_lib
     from gmvae_tpu.utils.logging import save_latent_plot
     n = min(2048, len(trainer.dataset.test_x))
     z, _ = api_lib.latent_embed(trainer, state, trainer.dataset.test_x[:n])
-    save_latent_plot(os.path.join(run_dir, f'latent_{step}.png'), z,
-                     trainer.dataset.test_y[:n])
+    if proc0:
+        save_latent_plot(os.path.join(run_dir, f'latent_{step}.png'), z,
+                         trainer.dataset.test_y[:n])

@@ -42,13 +42,32 @@ def restore_ckpt(path: str, like: Dict[str, Any]) -> Dict[str, Any]:
         _to_host(like), serialization.msgpack_restore(payload))
 
 
-def latest_ckpt(run_dir: str) -> str | None:
-    """Newest ``ckpt_*.msgpack`` in a run directory, or None."""
+def _list_ckpts(run_dir: str) -> list:
+    """``ckpt_*.msgpack`` filenames in step order (oldest first)."""
     if not os.path.isdir(run_dir):
-        return None
+        return []
     cands = [f for f in os.listdir(run_dir)
              if f.startswith('ckpt_') and f.endswith('.msgpack')]
-    if not cands:
-        return None
     cands.sort(key=lambda f: int(f.split('_')[1].split('.')[0]))
-    return os.path.join(run_dir, cands[-1])
+    return cands
+
+
+def latest_ckpt(run_dir: str) -> str | None:
+    """Newest ``ckpt_*.msgpack`` in a run directory, or None."""
+    cands = _list_ckpts(run_dir)
+    return os.path.join(run_dir, cands[-1]) if cands else None
+
+
+def prune_ckpts(run_dir: str, keep: int) -> None:
+    """Delete all but the newest ``keep`` snapshots (0/negative keeps all).
+
+    Long runs would otherwise accumulate unbounded snapshots (celeba_dp16's
+    conv state is ~100 MB each). Process 0 only — it is the only writer.
+    """
+    if keep <= 0 or jax.process_index() != 0:
+        return
+    for fname in _list_ckpts(run_dir)[:-keep]:
+        try:
+            os.remove(os.path.join(run_dir, fname))
+        except OSError:
+            pass  # best-effort; a vanished file is already pruned

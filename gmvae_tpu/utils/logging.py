@@ -17,18 +17,23 @@ import numpy as np
 
 
 class RunLogger:
-    def __init__(self, run_dir: str, echo: bool = True):
+    def __init__(self, run_dir: str, echo: bool = True, write: bool = True):
+        """``write=False`` disables the JSONL file (multi-host: process 0 is
+        the sole writer so concurrent appends never interleave rows)."""
         self.run_dir = run_dir
         self.echo = echo
-        os.makedirs(run_dir, exist_ok=True)
+        self.write = write
+        if write:
+            os.makedirs(run_dir, exist_ok=True)
         self.path = os.path.join(run_dir, 'metrics.jsonl')
 
     def log(self, row: Dict[str, Any]) -> None:
         row = {k: (float(v) if isinstance(v, (np.floating, np.integer)) else v)
                for k, v in row.items()}
         row.setdefault('time', time.time())
-        with open(self.path, 'a') as f:
-            f.write(json.dumps(row) + '\n')
+        if self.write:
+            with open(self.path, 'a') as f:
+                f.write(json.dumps(row) + '\n')
         if self.echo:
             show = {k: (round(v, 4) if isinstance(v, float) else v)
                     for k, v in row.items() if k != 'time'}

@@ -14,7 +14,14 @@ device flag here (before any backend is touched) works.
 
 import os
 
-os.environ.pop('PALLAS_AXON_POOL_IPS', None)   # for any subprocesses
+# drop the axon remote-TPU pool var for any subprocesses (they must come up
+# on CPU), but stash it (and the original platform selection):
+# test_tpu_gate.py deliberately restores both to probe the real TPU backend
+_pool = os.environ.pop('PALLAS_AXON_POOL_IPS', None)
+if _pool is not None:
+    os.environ['_GMVAE_AXON_POOL_IPS_STASH'] = _pool
+    if os.environ.get('JAX_PLATFORMS'):
+        os.environ['_GMVAE_JAX_PLATFORMS_STASH'] = os.environ['JAX_PLATFORMS']
 os.environ['JAX_PLATFORMS'] = 'cpu'
 _flags = os.environ.get('XLA_FLAGS', '')
 if 'xla_force_host_platform_device_count' not in _flags:

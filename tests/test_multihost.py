@@ -19,7 +19,10 @@ def _free_port() -> str:
         return str(s.getsockname()[1])
 
 
-def test_two_process_dp_chunk_identical_state():
+def test_two_process_dp_train_eval_resume(tmp_path):
+    """The full pod story on a 2-process mesh: train chunk, sharded-data DP,
+    global eval, and fit() with eval cadence + cross-process checkpoint
+    resume (VERDICT r2 next-round #1)."""
     env = dict(os.environ)
     env.pop('PALLAS_AXON_POOL_IPS', None)
     env['JAX_PLATFORMS'] = 'cpu'
@@ -29,13 +32,14 @@ def test_two_process_dp_chunk_identical_state():
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env['PYTHONPATH'] = repo_root + os.pathsep + env.get('PYTHONPATH', '')
     port = _free_port()
-    procs = [subprocess.Popen([sys.executable, WORKER, str(i), port],
-                              stdout=subprocess.PIPE,
-                              stderr=subprocess.STDOUT, env=env, text=True)
+    procs = [subprocess.Popen(
+                 [sys.executable, WORKER, str(i), port, str(tmp_path)],
+                 stdout=subprocess.PIPE,
+                 stderr=subprocess.STDOUT, env=env, text=True)
              for i in range(2)]
     outs = []
     for p in procs:
-        out, _ = p.communicate(timeout=240)
+        out, _ = p.communicate(timeout=480)
         outs.append(out)
         assert p.returncode == 0, out[-2000:]
     for i, out in enumerate(outs):
@@ -43,3 +47,8 @@ def test_two_process_dp_chunk_identical_state():
         assert 'elbo_identical=True' in out, out[-2000:]
         assert 'sharded_params_identical=True' in out, out[-2000:]
         assert 'sharded_finite=True' in out, out[-2000:]
+        assert 'eval_identical=True' in out, out[-2000:]
+        assert 'eval_finite=True' in out, out[-2000:]
+        assert 'resume_matches_uninterrupted=True' in out, out[-2000:]
+        assert 'fit_params_identical=True' in out, out[-2000:]
+        assert 'fit_eval_identical=True' in out, out[-2000:]

@@ -1,0 +1,65 @@
+"""Trained fused-vs-oracle parity at conv scale (VERDICT r2 next-round #3).
+
+For each conv-family config this trains TWICE from the same seed — once
+with the fused Pallas head, once with the unfused jnp oracle path — and
+reports trained eval-ELBO/ACC/NMI for both plus the relative ELBO delta,
+against the 1% acceptance bound (BASELINE.json:5).
+
+Comparison protocol (PERF.md "run-to-run ELBO repeatability"): trained ELBO
+is bit-deterministic per binary, but accumulation-order changes (kernel
+tiling, fused-vs-unfused reduction order, different noise streams) compound
+chaotically over a 10k-step run and drift trained ELBO by O(<1%) with
+unchanged ACC/NMI. The fused and unfused paths draw DIFFERENT (both
+correct) threefry noise streams, so this comparison measures exactly that
+chaotic-compounding band — the mnist r2 result was 0.019%. Both runs here
+share one binary and one seed; deltas are single-run, not seed-averaged
+(the bound is 1%; seed variance at these configs is documented in
+BASELINE.md's sweep table).
+
+    python tools/parity_conv.py                  # all three conv rows
+    python tools/parity_conv.py svhn_conv
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from reproduce_baselines import measure  # noqa: E402
+
+# (config, steps, eval_examples, kwargs) — same shapes as the BASELINE.md
+# reproduction rows
+PLAN = [
+    ('svhn_conv', 10_000, 10_000, {}),
+    ('cifar_k20', 10_000, 10_000, {}),
+    ('celeba_dp16', 2_000, 2_048, {'batch_size': 256, 'scan_steps': 100}),
+]
+
+
+def main() -> None:
+    from gmvae_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
+    which = sys.argv[1:] or [n for n, *_ in PLAN]
+    for name, steps, n_eval, kw in PLAN:
+        if name not in which:
+            continue
+        rows = {}
+        for fused in (True, False):
+            row = measure(name, steps, n_eval, {**kw, 'fused': fused})
+            row['fused'] = fused
+            print(json.dumps(row), flush=True)
+            rows[fused] = row
+        a, b = rows[True], rows[False]
+        delta = abs(a['elbo_nats'] - b['elbo_nats']) / abs(b['elbo_nats'])
+        print(json.dumps({
+            'config': name, 'parity': True,
+            'elbo_fused': a['elbo_nats'], 'elbo_oracle': b['elbo_nats'],
+            'elbo_rel_delta_pct': round(100 * delta, 4),
+            'within_1pct': delta < 0.01,
+            'acc_fused': a.get('acc'), 'acc_oracle': b.get('acc'),
+            'nmi_fused': a.get('nmi'), 'nmi_oracle': b.get('nmi'),
+        }), flush=True)
+
+
+if __name__ == '__main__':
+    main()

@@ -46,11 +46,13 @@ def measure(name: str, steps: int, n_eval: int, kw: dict) -> dict:
     t0 = time.perf_counter()
     trainer = train_lib.Trainer(cfg, ds)
     state = trainer.init_state()
-    idx = trainer.batch_plan(steps)
     pos, t_steady, imgs = 0, None, 0
-    while pos < idx.shape[0]:
-        s = min(cfg.scan_steps, idx.shape[0] - pos)
-        state, m = trainer.run_chunk(state, idx[pos:pos + s])
+    while pos < steps:
+        s = min(cfg.scan_steps, steps - pos)
+        # per-chunk plan generation (same windowed permutation stream fit()
+        # uses — O(chunk) device memory)
+        state, m = trainer.run_chunk(state,
+                                     trainer.batch_plan(s, start_step=pos))
         pos += s
         if t_steady is None:
             # first chunk includes compile: fence (device->host scalar — the
