@@ -429,6 +429,18 @@ def fit(cfg: Config, dataset: Optional[data_lib.Dataset] = None,
     chunk = max(1, cfg.scan_steps)
     n_chips = jax.device_count()
 
+    # Batch plans are generated in SUPER-chunks: bounded O(plan_window)
+    # device memory instead of an O(total-steps) resident array, while the
+    # per-chunk cost stays a device-side slice — plan GENERATION involves a
+    # host round-trip (put_global needs identical host copies on every
+    # process), which must not land in the hot loop every chunk (measured:
+    # per-chunk generation sank svhn steady-state 318k -> 21k img/s).
+    # Trajectories are unchanged regardless of windowing
+    # (epoch_batch_indices windows one prefix-stable permutation stream).
+    # window sized to ~8 MB of int32 indices regardless of batch size
+    plan_window = max(chunk, (2_000_000 // cfg.batch_size) // chunk * chunk)
+    plan_buf, plan_base = None, 0
+
     history = []
     t_last = time.perf_counter()
     imgs_since = 0
@@ -436,11 +448,13 @@ def fit(cfg: Config, dataset: Optional[data_lib.Dataset] = None,
     first_timing = True  # first window includes jit compile
     while start + pos < total:
         s = min(chunk, total - (start + pos))
-        # per-chunk plan generation: O(chunk) device memory instead of an
-        # O(total-steps) resident plan array; trajectories are unchanged
-        # (epoch_batch_indices windows the same permutation stream)
-        state, _ = trainer.run_chunk(
-            state, trainer.batch_plan(s, start_step=start + pos))
+        step0 = start + pos
+        if plan_buf is None or step0 + s > plan_base + plan_buf.shape[0]:
+            w = min(plan_window, total - step0)
+            plan_buf = trainer.batch_plan(w, start_step=step0)
+            plan_base = step0
+        off = step0 - plan_base
+        state, _ = trainer.run_chunk(state, plan_buf[off:off + s])
         pos += s
         imgs_since += s * cfg.batch_size
         step_now = start + pos

@@ -213,3 +213,67 @@ def test_cluster_assign_empty_input(short_run):
     _, trainer, state, _ = short_run
     out = api.cluster_assign(trainer, state, np.zeros((0, 8, 8, 1), np.uint8))
     assert out.shape == (0,)
+
+
+def test_ckpt_retention_prunes_old_snapshots(tmp_path):
+    """cfg.ckpt_keep bounds on-disk snapshots (VERDICT r2 polish #9)."""
+    cfg = configs.synthetic_tiny(steps=60, eval_every=10**9, ckpt_every=20,
+                                 scan_steps=20, ckpt_keep=2,
+                                 run_dir=str(tmp_path))
+    api.train(cfg)
+    run_dir = os.path.join(cfg.run_dir, cfg.name)
+    names = sorted(f for f in os.listdir(run_dir)
+                   if f.startswith('ckpt_'))
+    assert names == ['ckpt_40.msgpack', 'ckpt_60.msgpack'], names
+    # keep=0 retains everything
+    cfg2 = cfg.replace(ckpt_keep=0, run_dir=str(tmp_path / 'all'))
+    api.train(cfg2)
+    run_dir2 = os.path.join(cfg2.run_dir, cfg2.name)
+    names2 = sorted(f for f in os.listdir(run_dir2)
+                    if f.startswith('ckpt_'))
+    assert names2 == ['ckpt_20.msgpack', 'ckpt_40.msgpack',
+                      'ckpt_60.msgpack'], names2
+
+
+def test_cli_eval_with_explicit_ckpt(tmp_path, capsys):
+    """--ckpt PATH pins the snapshot (VERDICT r2 polish #9); a missing path
+    errors instead of silently using init params."""
+    import json
+
+    from gmvae_tpu import cli
+    cfg_args = ['--config', 'synthetic_tiny', '--set',
+                f'run_dir={tmp_path}', '--set', 'steps=40',
+                '--set', 'eval_every=20', '--set', 'scan_steps=20',
+                '--set', 'ckpt_every=20', '--set', 'ckpt_keep=0']
+    assert cli.main(['train'] + cfg_args) == 0
+    capsys.readouterr()
+    ck = os.path.join(str(tmp_path), 'synthetic_tiny', 'ckpt_20.msgpack')
+    assert cli.main(['eval'] + cfg_args + ['--ckpt', ck]) == 0
+    row20 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert cli.main(['eval'] + cfg_args) == 0   # latest = step 40
+    row40 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert row20['elbo_nats'] != row40['elbo_nats']
+    assert cli.main(['eval'] + cfg_args + ['--ckpt', '/nope.msgpack']) == 2
+
+
+def test_batch_plan_windowing_matches_full_plan():
+    """Chunked plan generation must reproduce the monolithic plan exactly
+    (fit() builds plans per chunk — trajectories must not depend on the
+    chunking)."""
+    cfg = configs.synthetic_tiny()
+    trainer = train_lib.Trainer(cfg, data_lib.make_synthetic(
+        image_shape=cfg.image_shape))
+    full = np.asarray(trainer.batch_plan(50))
+    parts = [np.asarray(trainer.batch_plan(17, start_step=s))
+             for s in (0, 17, 34)]
+    np.testing.assert_array_equal(np.concatenate(parts)[:50], full)
+
+
+def test_runlogger_write_gating(tmp_path):
+    from gmvae_tpu.utils.logging import RunLogger
+    silent = RunLogger(str(tmp_path / 'a'), echo=False, write=False)
+    silent.log({'step': 1})
+    assert not os.path.exists(silent.path)
+    loud = RunLogger(str(tmp_path / 'b'), echo=False)
+    loud.log({'step': 1})
+    assert os.path.exists(loud.path)

