@@ -49,6 +49,8 @@ from __future__ import annotations
 
 import functools
 import math
+import os
+import sys
 
 import jax
 import jax.numpy as jnp
@@ -601,6 +603,12 @@ def fused_mixture_elbo(key: jax.Array,
     d = q_means.shape[-1]
     if b > (1 << 16) or max(k, d) > (1 << 16):
         raise ValueError('threefry counter layout requires B, K, D < 2^16')
+    if os.environ.get('GMVAE_LOG_LAYOUT'):
+        # trace-time only (once per compile): perf regressions from
+        # falling off the flat layout become visible (ADVICE r2 #3)
+        layout = 'flat' if use_flat_layout(k, d) else '3d'
+        print(f'[fused_elbo] layout={layout} B={b} K={k} D={d} '
+              f'noise={noise_mode}', file=sys.stderr)
     if noise_mode == 'xla':
         key_g, key_z = jax.random.split(key)
         g_in = dists.sample_gumbel(key_g, (b, k), jnp.float32)
