@@ -56,7 +56,9 @@ same_elbo = bool(np.allclose(elbo_g[0], elbo_g[1]))
 # (put_sharded -> make_array_from_process_local_data), per-shard local plans
 cfg_sh = cfg.replace(data_sharding='sharded')
 tr = train_lib.Trainer(cfg_sh, ds)
-assert tr.x_all.addressable_shards[0].data.shape[0] == 128 // 2, tr.x_all
+# each DEVICE holds 1/n_dp of the dataset (n_dp = global device count)
+assert (tr.x_all.addressable_shards[0].data.shape[0]
+        == 128 // jax.device_count()), tr.x_all
 st = tr.init_state()
 st, m_sh = tr.run_chunk(st, tr.batch_plan(2))
 leaf_sh = jax.tree.leaves(st.params)[0]

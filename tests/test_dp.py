@@ -207,3 +207,36 @@ def test_fused_head_under_multi_device_shard_map(monkeypatch):
     shards = [np.asarray(s.data) for s in leaf.addressable_shards]
     for s in shards[1:]:
         np.testing.assert_array_equal(shards[0], s)
+
+
+def test_celeba_pod_config_structure_runs_on_virtual_mesh():
+    """The celeba_dp16 pod config's STRUCTURE — 4-stage conv arch, K=64,
+    D=256, Gaussian likelihood, per-leaf grad clip, sharded dataset
+    placement — compiles and trains+evaluates over the 8-device virtual
+    mesh. Only scale knobs are shrunk (image 32x32, narrow conv widths,
+    tiny batch/steps/dataset): none of them changes the code path, and
+    the full-scale shapes run in `tools/dryrun_pod.py --config
+    celeba_dp16 --devices 16` (measured green; 132 s of CPU conv at real
+    widths is too heavy for the suite). Pod-proof for BASELINE.json:11
+    beyond synthetic_tiny shapes."""
+    cfg = configs.celeba_dp16(batch_size=16, scan_steps=2, steps=2,
+                              eval_every=10**9, ckpt_every=0,
+                              eval_samples=1, image_shape=(32, 32, 3),
+                              enc_hidden=(16, 32, 64, 128),
+                              dec_hidden=(128, 64, 32, 16))
+    assert cfg.arch == 'conv' and cfg.n_components == 64
+    assert cfg.grad_clip_impl == 'per_leaf'
+    assert cfg.data_sharding == 'sharded'
+    assert len(cfg.enc_hidden) == 4 and cfg.latent_dim == 256
+    ds = data_lib.make_synthetic(image_shape=cfg.image_shape, n_clusters=40,
+                                 n_train=64, n_test=32, seed=3)
+    trainer = train_lib.Trainer(cfg, ds)
+    assert trainer.n_dp == 8
+    # sharded placement: each device holds 1/8 of the training rows
+    assert trainer.x_all.sharding.spec == P('data')
+    state = trainer.init_state()
+    state, m = trainer.run_chunk(state, trainer.batch_plan(2))
+    assert np.isfinite(float(m['elbo'][-1]))
+    ev = trainer.evaluate(state, max_examples=32)
+    assert np.isfinite(ev['elbo_nats'])
+    assert set(ev) >= {'elbo_nats', 'iwae_nats', 'acc', 'nmi'}

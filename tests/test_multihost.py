@@ -26,7 +26,10 @@ def test_two_process_dp_train_eval_resume(tmp_path):
     env = dict(os.environ)
     env.pop('PALLAS_AXON_POOL_IPS', None)
     env['JAX_PLATFORMS'] = 'cpu'
-    env.pop('XLA_FLAGS', None)  # 1 device per process
+    # 2 fake devices PER process -> a 4-device global mesh across 2
+    # processes: device boundaries and process boundaries differ, like a
+    # real pod host (v5e-16 = 4 hosts x 4 chips)
+    env['XLA_FLAGS'] = '--xla_force_host_platform_device_count=2'
     # worker imports gmvae_tpu without sys.path hacks: point it at the
     # repo root (works both installed and in-place)
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
