@@ -16,7 +16,7 @@ import sys
 import time
 
 
-def run_bench(cfg=None, steps: int = 2000, scan_steps: int = 200,
+def run_bench(cfg=None, steps: int = 2000, scan_steps: int = 100,
               warmup_chunks: int = 1, quiet: bool = True,
               detail: bool = False):
     import jax

@@ -74,6 +74,21 @@ def build_parser() -> argparse.ArgumentParser:
     ckpt_arg(lt)
     lt.add_argument('--n', type=int, default=2048)
     lt.add_argument('--out', default=None)
+
+    a = sub.add_parser(
+        'assign',
+        help='batch cluster assignment (the serving verb): images in, '
+             'cluster ids + probabilities + latents out')
+    common(a)
+    ckpt_arg(a)
+    a.add_argument('--input', default=None, metavar='NPZ',
+                   help="npz with array 'x' (or 'test_x'/first array) of "
+                        'uint8 or [0,1]-float images; default: the '
+                        "config dataset's test split")
+    a.add_argument('--out', default=None, metavar='NPZ',
+                   help='write {ids, probs, z} npz; default '
+                        '<run_dir>/assignments.npz')
+    a.add_argument('--batch', type=int, default=1024)
     return p
 
 
@@ -121,7 +136,8 @@ def main(argv=None) -> int:
                                           save_grids=args.grids)
             if history:
                 print(json.dumps(history[-1]))
-        elif args.verb in ('eval', 'sample', 'reconstruct', 'latent'):
+        elif args.verb in ('eval', 'sample', 'reconstruct', 'latent',
+                           'assign'):
             trainer = train_lib.Trainer(cfg)
             state = trainer.init_state()
             run_dir = os.path.join(cfg.run_dir, cfg.name)
@@ -139,6 +155,29 @@ def main(argv=None) -> int:
                       'params', file=sys.stderr)
             if args.verb == 'eval':
                 print(json.dumps(api.eval_elbo(trainer, state)))
+            elif args.verb == 'assign':
+                import numpy as np
+                if args.input:
+                    with np.load(args.input) as z:
+                        key = ('x' if 'x' in z else 'test_x'
+                               if 'test_x' in z else z.files[0])
+                        xs = z[key]
+                else:
+                    xs = trainer.dataset.test_x
+                ids = api.cluster_assign(trainer, state, xs,
+                                         batch_size=args.batch)
+                zlat, probs = api.latent_embed(trainer, state, xs,
+                                               batch_size=args.batch)
+                out = args.out or os.path.join(run_dir, 'assignments.npz')
+                os.makedirs(os.path.dirname(os.path.abspath(out)),
+                            exist_ok=True)
+                np.savez(out, ids=ids.astype(np.int32),
+                         probs=probs.astype(np.float32),
+                         z=zlat.astype(np.float32))
+                counts = np.bincount(ids,
+                                     minlength=cfg.n_components).tolist()
+                print(json.dumps({'n': int(len(ids)), 'out': out,
+                                  'cluster_counts': counts}))
             elif args.verb == 'latent':
                 from gmvae_tpu.utils.logging import save_latent_plot
                 n = min(args.n, len(trainer.dataset.test_x))

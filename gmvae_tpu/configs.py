@@ -181,6 +181,18 @@ def celeba_dp16(**kw) -> Config:
     ).replace(**kw)
 
 
+def mnist_vae(**kw) -> Config:
+    """Plain-VAE variant: the reference's model family includes a plain VAE
+    alongside the mixture models (SURVEY.md §1.1 'one class per variant:
+    plain VAE, GMVAE, deep-mixture'); here it is the K=1 degenerate of the
+    same config-driven module (models/gmvae.py — single component, the
+    Gumbel-softmax relaxation is trivially one-hot, kl_cat == 0, the ELBO
+    reduces to the standard reparameterized VAE bound with a learned
+    Gaussian prior). Cluster regularizers are meaningless at K=1 and off."""
+    return mnist_k10(name='mnist_vae', n_components=1,
+                     balance_weight=0.0, conf_weight=0.0).replace(**kw)
+
+
 def synthetic_hard(**kw) -> Config:
     """MNIST-architecture GMVAE on the overlapping-cluster fixture
     (data/loaders.py make_synthetic_hard): the quality-regression
@@ -204,6 +216,7 @@ def synthetic_tiny(**kw) -> Config:
 
 CONFIGS = {
     'mnist_k10': mnist_k10,
+    'mnist_vae': mnist_vae,
     'fmnist_deep': fmnist_deep,
     'svhn_conv': svhn_conv,
     'cifar_k20': cifar_k20,

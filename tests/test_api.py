@@ -277,3 +277,52 @@ def test_runlogger_write_gating(tmp_path):
     loud = RunLogger(str(tmp_path / 'b'), echo=False)
     loud.log({'step': 1})
     assert os.path.exists(loud.path)
+
+
+def test_plain_vae_named_config_trains(tmp_path):
+    """mnist_vae (K=1 plain-VAE variant, SURVEY.md §1.1 model family) is a
+    named config and trains: kl_cat == 0 at K=1, ELBO improves."""
+    cfg = configs.get_config(
+        'mnist_vae', image_shape=(8, 8, 1), enc_hidden=(32, 32),
+        dec_hidden=(32, 32), latent_dim=4, batch_size=32, steps=40,
+        scan_steps=20, eval_every=20, ckpt_every=0, fused=False,
+        compute_dtype='float32', dataset='synthetic',
+        run_dir=str(tmp_path))
+    assert cfg.n_components == 1 and cfg.balance_weight == 0.0
+    trainer, state, history = api.train(cfg)
+    assert np.isfinite(history[-1]['elbo_nats'])
+    assert history[-1]['elbo_nats'] > history[0]['elbo_nats'] - 1.0
+    # single component -> every assignment is cluster 0
+    ids = api.cluster_assign(trainer, state, trainer.dataset.test_x[:64])
+    assert (ids == 0).all()
+
+
+def test_cli_assign_verb(tmp_path, capsys):
+    """The serving verb: images in (npz or dataset), {ids, probs, z} out."""
+    import json
+
+    from gmvae_tpu import cli
+    cfg_args = ['--config', 'synthetic_tiny', '--set',
+                f'run_dir={tmp_path}', '--set', 'steps=40',
+                '--set', 'eval_every=40', '--set', 'scan_steps=20',
+                '--set', 'ckpt_every=40']
+    assert cli.main(['train'] + cfg_args) == 0
+    capsys.readouterr()
+    # dataset default path
+    assert cli.main(['assign'] + cfg_args) == 0
+    row = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert row['n'] == 1024 and len(row['cluster_counts']) == 2
+    saved = np.load(row['out'])
+    assert saved['ids'].shape == (1024,)
+    assert saved['probs'].shape == (1024, 2)
+    assert saved['z'].shape == (1024, 4)
+    np.testing.assert_allclose(saved['probs'].sum(-1), 1.0, atol=1e-5)
+    # explicit npz input path
+    xs = np.zeros((16, 8, 8, 1), np.uint8)
+    np.savez(tmp_path / 'in.npz', x=xs)
+    out2 = str(tmp_path / 'out2.npz')
+    assert cli.main(['assign'] + cfg_args
+                    + ['--input', str(tmp_path / 'in.npz'),
+                       '--out', out2]) == 0
+    row2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert row2['n'] == 16 and row2['out'] == out2
