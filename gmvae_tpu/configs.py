@@ -25,6 +25,12 @@ class Config:
     latent_dim: int = 10
     n_components: int = 10            # K mixture components
     likelihood: str = 'bernoulli'     # bernoulli|gaussian
+    # 'gmvae' (models/gmvae.py, incl. the K=1 plain VAE) or 'deep'
+    # (models/deep.py — hierarchical w-latent mixture, arXiv:1611.02648);
+    # SURVEY.md §1.1 "one class per variant: plain VAE, GMVAE, deep-mixture"
+    model_family: str = 'gmvae'       # gmvae|deep
+    w_dim: int = 32                   # deep variant: top-level latent dim
+    prior_hidden: int = 128           # deep variant: prior-net hidden width
 
     # objective. Default is the Concrete-GMVAE 'structured' form
     # (arXiv:1909.08994). Measured at K=10 (4k steps, v5e, balance_weight=5):
@@ -193,6 +199,20 @@ def mnist_vae(**kw) -> Config:
                      balance_weight=0.0, conf_weight=0.0).replace(**kw)
 
 
+def mnist_deepmix(**kw) -> Config:
+    """Deep-mixture VAE variant (SURVEY.md §1.1's third model family):
+    hierarchical w-latent Gaussian mixture — the prior components'
+    (mu_k, sigma_k) are generated by a neural net from w ~ N(0,I), and
+    q(k|w,z) is the closed-form responsibility (no Gumbel-softmax);
+    models/deep.py, after Dilokthanakul et al. arXiv:1611.02648. MNIST
+    shapes: K=10, z dim 64, w dim 32. tau/hard fields are inert here."""
+    return Config(
+        name='mnist_deepmix', dataset='mnist', model_family='deep',
+        latent_dim=64, w_dim=32, prior_hidden=256,
+        compute_dtype='bfloat16', scan_steps=100,
+    ).replace(**kw)
+
+
 def synthetic_hard(**kw) -> Config:
     """MNIST-architecture GMVAE on the overlapping-cluster fixture
     (data/loaders.py make_synthetic_hard): the quality-regression
@@ -217,6 +237,7 @@ def synthetic_tiny(**kw) -> Config:
 CONFIGS = {
     'mnist_k10': mnist_k10,
     'mnist_vae': mnist_vae,
+    'mnist_deepmix': mnist_deepmix,
     'fmnist_deep': fmnist_deep,
     'svhn_conv': svhn_conv,
     'cifar_k20': cifar_k20,

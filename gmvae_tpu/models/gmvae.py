@@ -26,30 +26,40 @@ from gmvae_tpu.ops.elbo import (HeadOutputs, MixturePrior, assemble_elbo,
                                 mixture_elbo_head)
 
 
+def split_like_params(cfg: Config, dec_out: jax.Array):
+    """Decoder output -> likelihood params: logits (bernoulli) or a
+    (mean, logvar) pair with ``cfg.dec_logvar_min`` flooring the predicted
+    log-variance (gaussian). Shared by every model variant."""
+    if cfg.likelihood == 'gaussian':
+        mean, logvar = jnp.split(dec_out, 2, axis=-1)
+        return mean, jnp.clip(logvar, cfg.dec_logvar_min, dists.LOGVAR_MAX)
+    return dec_out
+
+
+def log_likelihood(cfg: Config, x: jax.Array, like_params) -> jax.Array:
+    """Per-sample log p(x|z) for either likelihood family."""
+    if cfg.likelihood == 'gaussian':
+        mean, logvar = like_params
+        return dists.gaussian_ll(x, mean, logvar)
+    return dists.bernoulli_ll(x, like_params)
+
+
+def likelihood_mean(cfg: Config, like_params) -> jax.Array:
+    """E[x|z] — the image-space output of sample/reconstruct."""
+    if cfg.likelihood == 'gaussian':
+        return like_params[0]
+    return jax.nn.sigmoid(like_params)
+
+
 class GMVAE(nn.Module):
     cfg: Config
     head_fn: Callable = staticmethod(mixture_elbo_head)
 
     def setup(self):
         cfg = self.cfg
-        dtype = jnp.dtype(cfg.compute_dtype)
         k, d = cfg.n_components, cfg.latent_dim
-
-        enc_cls = nets.ENCODERS[cfg.arch]
-        dec_cls = nets.DECODERS[cfg.arch]
-        common_enc = dict(compute_dtype=dtype)
-        if cfg.arch == 'mlp':
-            self.encoder = enc_cls(hidden=cfg.enc_hidden, **common_enc)
-        else:
-            self.encoder = enc_cls(features=cfg.enc_hidden, **common_enc)
-
-        mult = 2 if cfg.likelihood == 'gaussian' else 1
-        common_dec = dict(image_shape=cfg.image_shape, out_channels_mult=mult,
-                          compute_dtype=dtype)
-        if cfg.arch == 'mlp':
-            self.decoder = dec_cls(hidden=cfg.dec_hidden, **common_dec)
-        else:
-            self.decoder = dec_cls(features=cfg.dec_hidden, **common_dec)
+        self.encoder = nets.make_encoder(cfg)
+        self.decoder = nets.make_decoder(cfg)
 
         # posterior heads over encoder features
         self.k_head = nn.Dense(k, name='k_head')
@@ -84,13 +94,7 @@ class GMVAE(nn.Module):
         """z -> likelihood params: logits [B,*img] (bernoulli) or
         (mean, logvar) each [B,*img] (gaussian). ``cfg.dec_logvar_min``
         floors the predicted log-variance (see configs.Config)."""
-        out = self.decoder(z)
-        if self.cfg.likelihood == 'gaussian':
-            mean, logvar = jnp.split(out, 2, axis=-1)
-            logvar = jnp.clip(logvar, self.cfg.dec_logvar_min,
-                              dists.LOGVAR_MAX)
-            return mean, logvar
-        return out
+        return split_like_params(self.cfg, self.decoder(z))
 
     def prior(self) -> MixturePrior:
         return MixturePrior(pi_logits=self.pi_logits,
@@ -98,10 +102,7 @@ class GMVAE(nn.Module):
                             logvars=self.prior_logvars)
 
     def log_likelihood(self, x: jax.Array, like_params) -> jax.Array:
-        if self.cfg.likelihood == 'gaussian':
-            mean, logvar = like_params
-            return dists.gaussian_ll(x, mean, logvar)
-        return dists.bernoulli_ll(x, like_params)
+        return log_likelihood(self.cfg, x, like_params)
 
     # ------------------------------------------------------------------
     # objectives / verbs
@@ -147,10 +148,7 @@ class GMVAE(nn.Module):
         """Deterministic reconstruction: soft posterior mean latent -> decode
         -> likelihood mean (SURVEY.md §3.3)."""
         z, _ = self.latent(x)
-        like_params = self.decode(z)
-        if self.cfg.likelihood == 'gaussian':
-            return like_params[0]
-        return jax.nn.sigmoid(like_params)
+        return likelihood_mean(self.cfg, self.decode(z))
 
     def sample(self, key: jax.Array, n: int,
                component: int | None = None) -> jax.Array:
@@ -165,10 +163,7 @@ class GMVAE(nn.Module):
         mean = prior.means[ks]
         logvar = prior.logvars[ks]
         z = dists.gauss_sample(key_z, mean, logvar)
-        like_params = self.decode(z)
-        if self.cfg.likelihood == 'gaussian':
-            return like_params[0]
-        return jax.nn.sigmoid(like_params)
+        return likelihood_mean(self.cfg, self.decode(z))
 
 
 def init_params(model: GMVAE, rng: jax.Array):

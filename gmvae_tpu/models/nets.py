@@ -175,3 +175,26 @@ class ResDecoder(nn.Module):
 
 ENCODERS = {'mlp': MLPEncoder, 'conv': ConvEncoder, 'resnet': ResEncoder}
 DECODERS = {'mlp': MLPDecoder, 'conv': ConvDecoder, 'resnet': ResDecoder}
+
+
+def make_encoder(cfg) -> nn.Module:
+    """Encoder for a ``configs.Config`` — the arch dispatch shared by every
+    model variant (GMVAE, plain VAE, deep-mixture)."""
+    dtype = jnp.dtype(cfg.compute_dtype)
+    cls = ENCODERS[cfg.arch]
+    if cfg.arch == 'mlp':
+        return cls(hidden=cfg.enc_hidden, compute_dtype=dtype)
+    return cls(features=cfg.enc_hidden, compute_dtype=dtype)
+
+
+def make_decoder(cfg) -> nn.Module:
+    """Decoder for a ``configs.Config``; Gaussian likelihoods double the
+    output channels (mean, logvar)."""
+    dtype = jnp.dtype(cfg.compute_dtype)
+    cls = DECODERS[cfg.arch]
+    mult = 2 if cfg.likelihood == 'gaussian' else 1
+    common = dict(image_shape=cfg.image_shape, out_channels_mult=mult,
+                  compute_dtype=dtype)
+    if cfg.arch == 'mlp':
+        return cls(hidden=cfg.dec_hidden, **common)
+    return cls(features=cfg.dec_hidden, **common)

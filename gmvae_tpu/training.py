@@ -50,8 +50,19 @@ class TrainState(NamedTuple):
     step: jax.Array  # int32 scalar
 
 
-def make_model(cfg: Config) -> GMVAE:
-    """Build the model with the fused Pallas head when enabled+supported."""
+def make_model(cfg: Config):
+    """Build the configured model variant (SURVEY.md §1.1 model family).
+
+    'gmvae' (incl. the K=1 plain VAE) takes the fused Pallas head when
+    enabled+supported; the 'deep' hierarchical variant has no Gumbel-softmax
+    head to fuse (closed-form responsibilities) and ignores ``cfg.fused``.
+    """
+    if cfg.model_family == 'deep':
+        from gmvae_tpu.models.deep import DeepGMVAE
+        return DeepGMVAE(cfg)
+    if cfg.model_family != 'gmvae':
+        raise ValueError(f'model_family must be gmvae|deep, '
+                         f'got {cfg.model_family!r}')
     head_fn = mixture_elbo_head
     if cfg.fused:
         from gmvae_tpu.ops.kernels import fused_elbo

@@ -29,6 +29,7 @@ from gmvae_tpu import training as train_lib
 # v5e-16 pod slice (BASELINE.md footnote).
 PLAN = [
     ('mnist_k10', 20_000, 10_000, {}),
+    ('mnist_deepmix', 20_000, 10_000, {}),
     ('fmnist_deep', 20_000, 10_000, {}),
     ('synthetic_hard', 10_000, 10_000, {}),
     ('svhn_conv', 10_000, 10_000, {}),
