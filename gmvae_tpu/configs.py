@@ -85,6 +85,13 @@ class Config:
 
     # performance
     compute_dtype: str = 'float32'    # float32|bfloat16 (MXU matmul dtype)
+    # Adam moment-storage dtype (training.scale_by_adam_lowmem). 'bfloat16'
+    # halves the optimizer's HBM working set — the dominant per-step HBM
+    # term for the MLP configs (PERF.md roofline) — with f32 arithmetic;
+    # opt-in because stored-moment rounding changes trained numerics and
+    # the defaults are pinned to exact optax.adam under the 1%-parity
+    # acceptance criterion.
+    opt_state_dtype: str = 'float32'  # float32|bfloat16
     fused: bool = True                # Pallas fused ELBO head on TPU
     scan_steps: int = 1               # micro-steps per jitted outer step
 

@@ -102,6 +102,67 @@ _CLIPS = {'global': optax.clip_by_global_norm, 'per_leaf': clip_by_leaf_norm,
           'value': optax.clip}
 
 
+class AdamLowmemState(NamedTuple):
+    count: jax.Array
+    mu: Any
+    nu: Any
+
+
+def scale_by_adam_lowmem(b1: float = 0.9, b2: float = 0.999,
+                         eps: float = 1e-8,
+                         state_dtype=jnp.bfloat16
+                         ) -> optax.GradientTransformation:
+    """Adam moment tracking with the moments STORED in ``state_dtype``.
+
+    All arithmetic stays float32 — each step upcasts m/v, blends them with
+    the f32 gradient, bias-corrects, and downcasts for storage — so the
+    only difference vs ``optax.adam`` is storage rounding of the two moment
+    trees. That halves the optimizer's HBM working set: for the MLP
+    configs Adam's param+moment traffic is the dominant per-step HBM term
+    (PERF.md roofline: ~27 MB/step at mnist_k10, ~half of it m+v
+    reads/writes), which is why this exists as an opt-in
+    (``Config.opt_state_dtype='bfloat16'``) rather than a default — the
+    stored-moment rounding changes trained numerics, and the 1%-parity
+    acceptance criterion (BASELINE.json:5) pins the defaults to exact
+    optax.adam behavior. Measured impact: see PERF.md "bf16 optimizer
+    state".
+    """
+    def init(params):
+        zeros = lambda p: jnp.zeros(jnp.shape(p), dtype=state_dtype)
+        return AdamLowmemState(jnp.zeros((), jnp.int32),
+                               jax.tree.map(zeros, params),
+                               jax.tree.map(zeros, params))
+
+    def update(updates, state, params=None):
+        del params
+        count = state.count + 1
+        c = count.astype(jnp.float32)
+        bc1 = 1.0 - b1 ** c
+        bc2 = 1.0 - b2 ** c
+        f32 = lambda a: a.astype(jnp.float32)
+        mu32 = jax.tree.map(lambda m, g: b1 * f32(m) + (1 - b1) * f32(g),
+                            state.mu, updates)
+        nu32 = jax.tree.map(
+            lambda v, g: b2 * f32(v) + (1 - b2) * jnp.square(f32(g)),
+            state.nu, updates)
+        out = jax.tree.map(
+            lambda m, v: (m / bc1) / (jnp.sqrt(v / bc2) + eps), mu32, nu32)
+        down = lambda t: jax.tree.map(lambda a: a.astype(state_dtype), t)
+        return out, AdamLowmemState(count, down(mu32), down(nu32))
+
+    return optax.GradientTransformation(init, update)
+
+
+def _adam(cfg: Config) -> optax.GradientTransformation:
+    if cfg.opt_state_dtype == 'float32':
+        return optax.adam(cfg.lr)
+    if cfg.opt_state_dtype != 'bfloat16':
+        raise ValueError(f'opt_state_dtype must be float32|bfloat16, '
+                         f'got {cfg.opt_state_dtype!r}')
+    return optax.chain(scale_by_adam_lowmem(state_dtype=jnp.bfloat16),
+                       optax.scale(-cfg.lr))
+
+
 def make_optimizer(cfg: Config) -> optax.GradientTransformation:
     if cfg.grad_clip > 0:
         # conv/ResNet Gaussian-likelihood configs diverge without this on
@@ -111,8 +172,8 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
             raise ValueError(f'grad_clip_impl must be one of {sorted(_CLIPS)}'
                              f', got {cfg.grad_clip_impl!r}')
         return optax.chain(_CLIPS[cfg.grad_clip_impl](cfg.grad_clip),
-                           optax.adam(cfg.lr))
-    return optax.adam(cfg.lr)
+                           _adam(cfg))
+    return _adam(cfg)
 
 
 def schedules(cfg: Config, step: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -450,6 +511,13 @@ def fit(cfg: Config, dataset: Optional[data_lib.Dataset] = None,
     # (epoch_batch_indices windows one prefix-stable permutation stream).
     # window sized to ~8 MB of int32 indices regardless of batch size
     plan_window = max(chunk, (2_000_000 // cfg.batch_size) // chunk * chunk)
+    # runs longer than one window always generate FULL windows (the last
+    # one overshoots `total`; extra rows are never consumed and the
+    # permutation stream is prefix-stable, so trajectories are unchanged):
+    # a shape-changing final window would jit-compile a second plan-
+    # generation program mid-run — measured as a ~10 s stall that made
+    # mnist_vae's logged steady-state read 158k instead of ~1M img/s
+    multi_window = total - start > plan_window
     plan_buf, plan_base = None, 0
 
     history = []
@@ -461,7 +529,7 @@ def fit(cfg: Config, dataset: Optional[data_lib.Dataset] = None,
         s = min(chunk, total - (start + pos))
         step0 = start + pos
         if plan_buf is None or step0 + s > plan_base + plan_buf.shape[0]:
-            w = min(plan_window, total - step0)
+            w = plan_window if multi_window else total - step0
             plan_buf = trainer.batch_plan(w, start_step=step0)
             plan_base = step0
         off = step0 - plan_base

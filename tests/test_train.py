@@ -4,6 +4,7 @@ import json
 import os
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -138,3 +139,70 @@ def test_multisample_eval_reduces_variance_and_iwae_bounds():
     assert 'iwae_nats' in row
     # IWAE multi-sample bound is at least as tight as the mean ELBO
     assert row['iwae_nats'] >= row['elbo_nats'] - 1e-4, row
+
+
+def test_adam_lowmem_f32_storage_matches_optax_adam():
+    """With float32 storage the lowmem transform IS optax.adam: the math
+    (blend, bias correction, eps placement) is validated exactly; the only
+    thing the bfloat16 mode then adds is storage rounding."""
+    import optax
+    key = jax.random.PRNGKey(0)
+    params = {'w': jax.random.normal(key, (7, 5)),
+              'b': jnp.zeros((5,), jnp.float32)}
+    ref = optax.adam(1e-3)
+    low = optax.chain(
+        train_lib.scale_by_adam_lowmem(state_dtype=jnp.float32),
+        optax.scale(-1e-3))
+    s_ref, s_low = ref.init(params), low.init(params)
+    p_ref, p_low = params, params
+    for i in range(5):
+        g = jax.tree.map(
+            lambda p, j=i: jax.random.normal(
+                jax.random.fold_in(key, 100 + j), p.shape), params)
+        u_ref, s_ref = ref.update(g, s_ref, p_ref)
+        u_low, s_low = low.update(g, s_low, p_low)
+        p_ref = optax.apply_updates(p_ref, u_ref)
+        p_low = optax.apply_updates(p_low, u_low)
+        for a, b in zip(jax.tree.leaves(u_ref), jax.tree.leaves(u_low)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-7)
+
+
+def test_adam_lowmem_bf16_trains_and_checkpoints():
+    """opt_state_dtype='bfloat16': moments are stored bf16, training still
+    recovers the planted clusters, and the bf16 optimizer state survives a
+    checkpoint save->restore->continue bit-stably."""
+    from gmvae_tpu.utils import checkpoint as ckpt_lib
+    cfg = _tiny_cfg(steps=300, eval_every=300, ckpt_every=0,
+                    opt_state_dtype='bfloat16')
+    trainer, state, history = train_lib.fit(cfg)
+    moments = [s for s in jax.tree.leaves(state.opt_state)
+               if hasattr(s, 'dtype') and s.dtype == jnp.bfloat16]
+    assert moments, 'no bf16 moment leaves found in opt_state'
+    assert history[-1]['acc'] > 0.95, history[-1]
+    # params themselves stay f32 (only moment STORAGE is bf16)
+    for leaf in jax.tree.leaves(state.params):
+        assert leaf.dtype == jnp.float32
+
+    path = os.path.join(cfg.run_dir, 'lowmem_ckpt.msgpack')
+    ckpt_lib.save_ckpt(path, trainer.state_to_tree(state))
+    restored = ckpt_lib.restore_ckpt(path, trainer.state_to_tree(state))
+    for a, b in zip(jax.tree.leaves(trainer.state_to_tree(state)),
+                    jax.tree.leaves(restored)):
+        assert np.asarray(a).dtype == np.asarray(b).dtype
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_adam_lowmem_trajectory_close_to_f32():
+    """Storage rounding perturbs, but must not derail, the trajectory."""
+    cfg32 = _tiny_cfg(steps=120, eval_every=120, ckpt_every=0)
+    cfg16 = cfg32.replace(opt_state_dtype='bfloat16')
+    _, _, h32 = train_lib.fit(cfg32)
+    _, _, h16 = train_lib.fit(cfg16)
+    e32, e16 = h32[-1]['elbo_nats'], h16[-1]['elbo_nats']
+    assert abs(e32 - e16) / abs(e32) < 0.05, (e32, e16)
+
+
+def test_opt_state_dtype_validated():
+    with pytest.raises(ValueError):
+        train_lib.make_optimizer(_tiny_cfg(opt_state_dtype='float16'))

@@ -29,6 +29,7 @@ from gmvae_tpu import training as train_lib
 # v5e-16 pod slice (BASELINE.md footnote).
 PLAN = [
     ('mnist_k10', 20_000, 10_000, {}),
+    ('mnist_vae', 20_000, 10_000, {}),
     ('mnist_deepmix', 20_000, 10_000, {}),
     ('fmnist_deep', 20_000, 10_000, {}),
     ('synthetic_hard', 10_000, 10_000, {}),
@@ -53,13 +54,18 @@ def measure(name: str, steps: int, n_eval: int, kw: dict) -> dict:
     window = max(cfg.scan_steps,
                  (2_000_000 // cfg.batch_size) // cfg.scan_steps
                  * cfg.scan_steps)
+    # like training.fit: multi-window runs always generate FULL windows so
+    # every plan-generation program shares one shape — a smaller final
+    # window would jit-compile a second program inside the timed region
+    # (measured: a ~10 s mid-run stall that understated mnist_vae 6x)
+    multi_window = steps > window
     plan_buf, plan_base = None, 0
     pos, t_steady, imgs = 0, None, 0
     while pos < steps:
         s = min(cfg.scan_steps, steps - pos)
         if plan_buf is None or pos + s > plan_base + plan_buf.shape[0]:
-            plan_buf = trainer.batch_plan(min(window, steps - pos),
-                                          start_step=pos)
+            plan_buf = trainer.batch_plan(window if multi_window
+                                          else steps - pos, start_step=pos)
             plan_base = pos
         state, m = trainer.run_chunk(
             state, plan_buf[pos - plan_base:pos - plan_base + s])
