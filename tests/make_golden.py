@@ -6,10 +6,13 @@ Freezing seeds + schedule early and never changing them silently is the
 whole point (SURVEY.md §7.3 hard part #2) — regeneration must be an explicit
 reviewed act.
 
-Two goldens:
+Three goldens:
   elbo_synthetic.json       — synthetic_tiny, 50 steps (fast CI tier)
   elbo_synthetic_hard.json  — synthetic_hard (the overlapping-cluster
                               quality fixture, BASELINE.md r2), 50 steps
+  elbo_synthetic_deep.json  — synthetic_tiny with model_family='deep'
+                              (the hierarchical deep-mixture variant,
+                              models/deep.py), 50 steps
 """
 
 import json
@@ -21,26 +24,30 @@ OVERRIDES = dict(steps=50, eval_every=10**9, ckpt_every=0, seed=123,
                  dp_devices=1)
 
 GOLDENS = {
-    'elbo_synthetic.json': 'synthetic_tiny',
-    'elbo_synthetic_hard.json': 'synthetic_hard',
+    'elbo_synthetic.json': ('synthetic_tiny', {}),
+    'elbo_synthetic_hard.json': ('synthetic_hard', {}),
+    'elbo_synthetic_deep.json': ('synthetic_tiny',
+                                 {'model_family': 'deep', 'w_dim': 4,
+                                  'prior_hidden': 16}),
 }
 
 
-def write_golden(fname: str, config_name: str) -> None:
+def write_golden(fname: str, config_name: str, extra: dict) -> None:
     import numpy as np
     from gmvae_tpu import configs
     from gmvae_tpu import training as train_lib
 
+    overrides = {**OVERRIDES, **extra}
     cfg = configs.get_config(config_name,
-                             run_dir='/tmp/golden_runs').replace(**OVERRIDES)
+                             run_dir='/tmp/golden_runs').replace(**overrides)
     trainer = train_lib.Trainer(cfg)
     state = trainer.init_state()
     idx = trainer.batch_plan(OVERRIDES['steps'])
     state, metrics = trainer.run_chunk(state, idx)
     out = {
         'config': config_name,
-        'config_overrides': OVERRIDES,
-        'steps': OVERRIDES['steps'],
+        'config_overrides': overrides,
+        'steps': overrides['steps'],
         'elbo': [float(v) for v in np.asarray(metrics['elbo'])],
     }
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), 'golden',
@@ -53,8 +60,8 @@ def write_golden(fname: str, config_name: str) -> None:
 
 
 def main():
-    for fname, config_name in GOLDENS.items():
-        write_golden(fname, config_name)
+    for fname, (config_name, extra) in GOLDENS.items():
+        write_golden(fname, config_name, extra)
 
 
 if __name__ == '__main__':

@@ -77,7 +77,8 @@ def test_kl_warmup_schedule():
 
 
 @pytest.mark.parametrize('fname', ['elbo_synthetic.json',
-                                   'elbo_synthetic_hard.json'])
+                                   'elbo_synthetic_hard.json',
+                                   'elbo_synthetic_deep.json'])
 def test_golden_elbo_trajectory(fname):
     """Seed-frozen 50-step ELBO trajectories vs checked-in golden files —
     guards numerics refactors and kernel swaps (SURVEY.md §4.2 tier 5),
