@@ -87,10 +87,13 @@ class Config:
     compute_dtype: str = 'float32'    # float32|bfloat16 (MXU matmul dtype)
     # Adam moment-storage dtype (training.scale_by_adam_lowmem). 'bfloat16'
     # halves the optimizer's HBM working set — the dominant per-step HBM
-    # term for the MLP configs (PERF.md roofline) — with f32 arithmetic;
-    # opt-in because stored-moment rounding changes trained numerics and
-    # the defaults are pinned to exact optax.adam under the 1%-parity
-    # acceptance criterion.
+    # term for the MLP configs (PERF.md roofline) — with f32 arithmetic.
+    # Default per named config where measured (PERF.md "bf16 optimizer
+    # state"): mnist_k10 +12.5% at 0.005% trained parity, fmnist_deep
+    # +21.8% at 0.039%, mnist_deepmix +13.9%, cifar_k20 +8.8% at 0.13%;
+    # svhn_conv measured NO gain (+0.3%, conv-bound with a cheap head) and
+    # stays float32. The dataclass default stays float32 so ad-hoc Configs
+    # get exact optax.adam unless they opt in.
     opt_state_dtype: str = 'float32'  # float32|bfloat16
     fused: bool = True                # Pallas fused ELBO head on TPU
     scan_steps: int = 1               # micro-steps per jitted outer step
@@ -124,7 +127,8 @@ def mnist_k10(**kw) -> Config:
     # identical ACC/NMI, ~5% faster (BASELINE.md); scan_steps amortizes
     # dispatch (SURVEY.md §7.3 #4)
     return Config(name='mnist_k10', dataset='mnist',
-                  compute_dtype='bfloat16', scan_steps=100).replace(**kw)
+                  compute_dtype='bfloat16', opt_state_dtype='bfloat16',
+                  scan_steps=100).replace(**kw)
 
 
 def fmnist_deep(**kw) -> Config:
@@ -137,8 +141,8 @@ def fmnist_deep(**kw) -> Config:
     return Config(
         name='fmnist_deep', dataset='fmnist',
         enc_hidden=(1024, 512, 256), dec_hidden=(256, 512, 1024),
-        latent_dim=64, compute_dtype='bfloat16', scan_steps=100,
-        **_CONV_REG,
+        latent_dim=64, compute_dtype='bfloat16', opt_state_dtype='bfloat16',
+        scan_steps=100, **_CONV_REG,
     ).replace(**kw)
 
 
@@ -171,7 +175,8 @@ def cifar_k20(**kw) -> Config:
         name='cifar_k20', dataset='cifar10', image_shape=(32, 32, 3),
         arch='resnet', enc_hidden=(64, 128, 256), dec_hidden=(256, 128, 64),
         latent_dim=128, n_components=20, likelihood='gaussian', binarize=False,
-        compute_dtype='bfloat16', scan_steps=100, grad_clip=1.0, **_CONV_REG,
+        compute_dtype='bfloat16', opt_state_dtype='bfloat16', scan_steps=100,
+        grad_clip=1.0, **_CONV_REG,
     ).replace(**kw)
 
 
@@ -216,7 +221,8 @@ def mnist_deepmix(**kw) -> Config:
     return Config(
         name='mnist_deepmix', dataset='mnist', model_family='deep',
         latent_dim=64, w_dim=32, prior_hidden=256,
-        compute_dtype='bfloat16', scan_steps=100,
+        compute_dtype='bfloat16', opt_state_dtype='bfloat16',
+        scan_steps=100,
     ).replace(**kw)
 
 

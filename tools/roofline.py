@@ -36,8 +36,8 @@ PEAK_HBM_GBS = {'tpu': 819.0}
 # v5e-16 slice; its recorded single-chip smoke uses batch 256 (BASELINE.md)
 MEASURE_KW = {'celeba_dp16': {'batch_size': 256, 'scan_steps': 100}}
 
-NAMES = ['mnist_k10', 'mnist_deepmix', 'fmnist_deep', 'synthetic_hard',
-         'svhn_conv', 'cifar_k20', 'celeba_dp16']
+NAMES = ['mnist_k10', 'mnist_vae', 'mnist_deepmix', 'fmnist_deep',
+         'synthetic_hard', 'svhn_conv', 'cifar_k20', 'celeba_dp16']
 
 
 def analyze(name: str, measure: bool, steps: int = 2000) -> dict:
