@@ -45,6 +45,17 @@ def main():
     print('artifacts in', out_dir, '->', sorted(os.listdir(out_dir)))
     assert np.isfinite(z).all()
 
+    # 6) the other two model families share the identical verb surface:
+    #    the plain VAE is the K=1 degenerate config ('mnist_vae' at real
+    #    scale), the deep-mixture variant is model_family='deep'
+    #    ('mnist_deepmix' at real scale; models/deep.py)
+    for name, kw in [('plain VAE', dict(n_components=1, balance_weight=0.0)),
+                     ('deep-mixture', dict(model_family='deep', w_dim=4,
+                                           prior_hidden=16))]:
+        tr, st, hist = g.train('synthetic_tiny', steps=100, eval_every=100,
+                               scan_steps=20, run_dir=out_dir, **kw)
+        print(f'{name}: eval_elbo:', g.eval_elbo(tr, st)['elbo_nats'])
+
 
 if __name__ == '__main__':
     main()
