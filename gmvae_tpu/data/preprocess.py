@@ -49,13 +49,23 @@ def epoch_batch_indices(key: jax.Array, n_data: int, batch_size: int,
     Identical trajectories regardless of chunking: ``jax.random.split(key,
     n)`` is prefix-stable in ``n`` (counter-based threefry), so epoch ``e``'s
     permutation is a pure function of ``(key, e)``.
+
+    Shape stability: the number of epochs materialized is a CONSTANT
+    ``cdiv(n_steps, steps_per_epoch) + 1`` regardless of how ``start_step``
+    aligns inside an epoch (the alignment-dependent count
+    ``cdiv(offset + n_steps, spe)`` flips between two values as a run's
+    windows walk through epochs, recompiling the expensive vmapped
+    permutation program mid-run over the remote-compile tunnel), and the
+    final window slice uses a dynamic start so one executable serves every
+    window of a run.
     """
     steps_per_epoch = max(1, n_data // batch_size)
     e0 = start_step // steps_per_epoch
-    e1 = -(-(start_step + n_steps) // steps_per_epoch)  # cdiv
-    keys = jax.random.split(key, e1)[e0:]
+    n_ep = -(-n_steps // steps_per_epoch) + 1  # cdiv + 1: any alignment
+    keys = jax.random.split(key, e0 + n_ep)[e0:]
     perms = jax.vmap(lambda k: jax.random.permutation(k, n_data))(keys)
     idx = perms[:, :steps_per_epoch * batch_size]
-    idx = idx.reshape((e1 - e0) * steps_per_epoch, batch_size)
+    idx = idx.reshape(n_ep * steps_per_epoch, batch_size)
     off = start_step - e0 * steps_per_epoch
-    return idx[off:off + n_steps].astype(jnp.int32)
+    return jax.lax.dynamic_slice_in_dim(idx, jnp.int32(off),
+                                        n_steps).astype(jnp.int32)

@@ -117,15 +117,16 @@ def scale_by_adam_lowmem(b1: float = 0.9, b2: float = 0.999,
     All arithmetic stays float32 — each step upcasts m/v, blends them with
     the f32 gradient, bias-corrects, and downcasts for storage — so the
     only difference vs ``optax.adam`` is storage rounding of the two moment
-    trees. That halves the optimizer's HBM working set: for the MLP
-    configs Adam's param+moment traffic is the dominant per-step HBM term
-    (PERF.md roofline: ~27 MB/step at mnist_k10, ~half of it m+v
-    reads/writes), which is why this exists as an opt-in
-    (``Config.opt_state_dtype='bfloat16'``) rather than a default — the
-    stored-moment rounding changes trained numerics, and the 1%-parity
-    acceptance criterion (BASELINE.json:5) pins the defaults to exact
-    optax.adam behavior. Measured impact: see PERF.md "bf16 optimizer
-    state".
+    trees (a float32-storage instantiation is asserted EXACTLY equal to
+    optax.adam: tests/test_train.py). That halves the optimizer's HBM
+    working set — for the MLP configs Adam's param+moment traffic is the
+    dominant per-step HBM term (PERF.md roofline: ~27 MB/step at
+    mnist_k10, ~half of it m+v reads/writes). Selected per named config
+    via ``Config.opt_state_dtype``: DEFAULT for mnist_k10 (and derived),
+    fmnist_deep, mnist_deepmix, cifar_k20 after a measured sweep (+8.8%
+    to +21.8% throughput at 0.005-0.13% trained-ELBO parity — PERF.md
+    "bf16 optimizer state"); svhn_conv and celeba_dp16 measured and kept
+    float32 (no gain / parity unprovable at K=64 basin sensitivity).
     """
     def init(params):
         zeros = lambda p: jnp.zeros(jnp.shape(p), dtype=state_dtype)
@@ -409,7 +410,19 @@ class Trainer:
                 'step': state.step}
 
     def tree_to_state(self, tree: Dict[str, Any]) -> TrainState:
-        state = TrainState(tree['params'], tree['opt_state'],
+        # Checkpoint migration across opt_state_dtype changes: flax's
+        # structural restore keeps the STORED array dtypes (the 'like' tree
+        # is structure-only), so a pre-flip f32-moment snapshot restored
+        # into a bf16-moment config would hand lax.scan a carry whose body
+        # returns different dtypes -> TypeError mid-resume. Cast every
+        # opt-state leaf to the dtype this config's optimizer initializes
+        # (moment ROUNDING on a downcast is the same rounding one training
+        # step later would apply anyway).
+        ref = self.tx.init(tree['params'])
+        opt_state = jax.tree.map(
+            lambda r, x: jnp.asarray(x, getattr(r, 'dtype', None)),
+            ref, tree['opt_state'])
+        state = TrainState(tree['params'], opt_state,
                            jnp.int32(tree['step']))
         return jax.device_put(state, mesh_lib.replicated(self.mesh))
 
@@ -447,6 +460,41 @@ class Trainer:
     # -- loops ----------------------------------------------------------
     def run_chunk(self, state: TrainState, idx: jax.Array):
         return self.train_chunk(state, self.x_all, idx, self.base_key)
+
+    def iter_chunk_plans(self, start: int, total: int):
+        """Yield per-chunk batch plans ``(n_steps, idx)`` for steps
+        ``[start, total)``, generated in SUPER-chunks: bounded
+        O(plan-window) device memory instead of an O(total-steps) resident
+        array, while the per-chunk cost stays a device-side slice — plan
+        GENERATION involves a host round-trip (``put_global`` needs
+        identical host copies on every process), which must not land in
+        the hot loop every chunk (measured: per-chunk generation sank svhn
+        steady-state 318k -> 21k img/s). Multi-window runs always generate
+        FULL windows (the last overshoots ``total``; the extra rows are
+        never consumed and the permutation stream is prefix-stable, so
+        trajectories are unchanged regardless of windowing) — a
+        shape-changing final window would jit-compile a second
+        plan-generation program mid-run (measured: a ~10 s stall that made
+        mnist_vae's logged steady-state read 158k instead of ~1M img/s).
+        The single source of the windowing rule for ``fit()`` AND the
+        measurement harnesses (tools/reproduce_baselines.py).
+        """
+        chunk = max(1, self.cfg.scan_steps)
+        # window sized to ~8 MB of int32 indices regardless of batch size
+        window = max(chunk,
+                     (2_000_000 // self.cfg.batch_size) // chunk * chunk)
+        multi_window = total - start > window
+        plan_buf, plan_base = None, 0
+        pos = start
+        while pos < total:
+            s = min(chunk, total - pos)
+            if plan_buf is None or pos + s > plan_base + plan_buf.shape[0]:
+                w = window if multi_window else total - pos
+                plan_buf = self.batch_plan(w, start_step=pos)
+                plan_base = pos
+            off = pos - plan_base
+            yield s, plan_buf[off:off + s]
+            pos += s
 
     def evaluate(self, state: TrainState, max_examples: Optional[int] = None
                  ) -> Dict[str, float]:
@@ -498,45 +546,17 @@ def fit(cfg: Config, dataset: Optional[data_lib.Dataset] = None,
 
     start = int(state.step)
     total = cfg.steps
-    chunk = max(1, cfg.scan_steps)
     n_chips = jax.device_count()
-
-    # Batch plans are generated in SUPER-chunks: bounded O(plan_window)
-    # device memory instead of an O(total-steps) resident array, while the
-    # per-chunk cost stays a device-side slice — plan GENERATION involves a
-    # host round-trip (put_global needs identical host copies on every
-    # process), which must not land in the hot loop every chunk (measured:
-    # per-chunk generation sank svhn steady-state 318k -> 21k img/s).
-    # Trajectories are unchanged regardless of windowing
-    # (epoch_batch_indices windows one prefix-stable permutation stream).
-    # window sized to ~8 MB of int32 indices regardless of batch size
-    plan_window = max(chunk, (2_000_000 // cfg.batch_size) // chunk * chunk)
-    # runs longer than one window always generate FULL windows (the last
-    # one overshoots `total`; extra rows are never consumed and the
-    # permutation stream is prefix-stable, so trajectories are unchanged):
-    # a shape-changing final window would jit-compile a second plan-
-    # generation program mid-run — measured as a ~10 s stall that made
-    # mnist_vae's logged steady-state read 158k instead of ~1M img/s
-    multi_window = total - start > plan_window
-    plan_buf, plan_base = None, 0
 
     history = []
     t_last = time.perf_counter()
     imgs_since = 0
-    pos = 0
+    step_now = start
     first_timing = True  # first window includes jit compile
-    while start + pos < total:
-        s = min(chunk, total - (start + pos))
-        step0 = start + pos
-        if plan_buf is None or step0 + s > plan_base + plan_buf.shape[0]:
-            w = plan_window if multi_window else total - step0
-            plan_buf = trainer.batch_plan(w, start_step=step0)
-            plan_base = step0
-        off = step0 - plan_base
-        state, _ = trainer.run_chunk(state, plan_buf[off:off + s])
-        pos += s
+    for s, idx in trainer.iter_chunk_plans(start, total):
+        state, _ = trainer.run_chunk(state, idx)
         imgs_since += s * cfg.batch_size
-        step_now = start + pos
+        step_now += s
 
         if step_now % cfg.eval_every < s or step_now >= total:
             # device->host fetch as a real fence (block_until_ready does not

@@ -42,7 +42,7 @@ def write_golden(fname: str, config_name: str, extra: dict) -> None:
                              run_dir='/tmp/golden_runs').replace(**overrides)
     trainer = train_lib.Trainer(cfg)
     state = trainer.init_state()
-    idx = trainer.batch_plan(OVERRIDES['steps'])
+    idx = trainer.batch_plan(overrides['steps'])
     state, metrics = trainer.run_chunk(state, idx)
     out = {
         'config': config_name,

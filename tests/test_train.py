@@ -207,3 +207,23 @@ def test_adam_lowmem_trajectory_close_to_f32():
 def test_opt_state_dtype_validated():
     with pytest.raises(ValueError):
         train_lib.make_optimizer(_tiny_cfg(opt_state_dtype='float16'))
+
+
+def test_resume_migrates_opt_state_dtype(tmp_path):
+    """A checkpoint written with f32 Adam moments resumes cleanly into a
+    bf16-moment config (and vice versa): tree_to_state casts restored
+    opt-state leaves to the config's optimizer dtypes — without the cast,
+    lax.scan's carry dtype mismatches mid-resume (review finding r3)."""
+    cfg32 = _tiny_cfg(steps=40, eval_every=40, ckpt_every=40,
+                      run_dir=str(tmp_path))
+    train_lib.fit(cfg32)
+    cfg16 = cfg32.replace(steps=80, opt_state_dtype='bfloat16')
+    _, state2, _ = train_lib.fit(cfg16, resume=True)
+    assert int(state2.step) == 80
+    assert any(getattr(leaf, 'dtype', None) == jnp.bfloat16
+               for leaf in jax.tree.leaves(state2.opt_state))
+    # and back: the bf16 run's checkpoint resumes into the f32 config
+    _, state3, _ = train_lib.fit(cfg32.replace(steps=120), resume=True)
+    assert int(state3.step) == 120
+    for leaf in jax.tree.leaves(state3.opt_state):
+        assert getattr(leaf, 'dtype', None) != jnp.bfloat16

@@ -48,28 +48,12 @@ def measure(name: str, steps: int, n_eval: int, kw: dict) -> dict:
     t0 = time.perf_counter()
     trainer = train_lib.Trainer(cfg, ds)
     state = trainer.init_state()
-    # super-chunked plan generation (same windowed permutation stream fit()
-    # uses): bounded memory, and the host-round-trip plan build stays OUT of
-    # the per-chunk timed path (it would sink throughput ~15x otherwise)
-    window = max(cfg.scan_steps,
-                 (2_000_000 // cfg.batch_size) // cfg.scan_steps
-                 * cfg.scan_steps)
-    # like training.fit: multi-window runs always generate FULL windows so
-    # every plan-generation program shares one shape — a smaller final
-    # window would jit-compile a second program inside the timed region
-    # (measured: a ~10 s mid-run stall that understated mnist_vae 6x)
-    multi_window = steps > window
-    plan_buf, plan_base = None, 0
-    pos, t_steady, imgs = 0, None, 0
-    while pos < steps:
-        s = min(cfg.scan_steps, steps - pos)
-        if plan_buf is None or pos + s > plan_base + plan_buf.shape[0]:
-            plan_buf = trainer.batch_plan(window if multi_window
-                                          else steps - pos, start_step=pos)
-            plan_base = pos
-        state, m = trainer.run_chunk(
-            state, plan_buf[pos - plan_base:pos - plan_base + s])
-        pos += s
+    # the SAME windowed plan pipeline fit() uses (single-sourced:
+    # Trainer.iter_chunk_plans — bounded memory, uniform window shapes,
+    # host-round-trip generation amortized out of the timed path)
+    t_steady, imgs = None, 0
+    for s, idx in trainer.iter_chunk_plans(0, steps):
+        state, m = trainer.run_chunk(state, idx)
         if t_steady is None:
             # first chunk includes compile: fence (device->host scalar — the
             # only true sync on the axon platform, PERF.md), then restart
