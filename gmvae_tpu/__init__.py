@@ -13,6 +13,7 @@ import importlib.metadata
 from gmvae_tpu.api import (cluster_assign, cluster_metrics, eval_elbo,
                            latent_embed, reconstruct, sample, train)
 from gmvae_tpu.configs import CONFIGS, Config, get_config
+from gmvae_tpu.serving import export_verb
 
 try:
     # single source of truth: pyproject.toml [project] version
@@ -22,6 +23,6 @@ except importlib.metadata.PackageNotFoundError:  # running from a checkout
 
 __all__ = [
     'train', 'eval_elbo', 'sample', 'reconstruct', 'cluster_assign',
-    'cluster_metrics', 'latent_embed', 'Config', 'CONFIGS', 'get_config',
-    '__version__',
+    'cluster_metrics', 'latent_embed', 'export_verb', 'Config', 'CONFIGS',
+    'get_config', '__version__',
 ]

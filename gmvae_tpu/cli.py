@@ -89,6 +89,23 @@ def build_parser() -> argparse.ArgumentParser:
                    help='write {ids, probs, z} npz; default '
                         '<run_dir>/assignments.npz')
     a.add_argument('--batch', type=int, default=1024)
+
+    x = sub.add_parser(
+        'export',
+        help='AOT-export an inference verb as a serialized batch-'
+             'polymorphic StableHLO artifact (serving.py): trained params '
+             'baked in, loadable with jax.export.deserialize alone')
+    common(x)
+    ckpt_arg(x)
+    # dest avoids clobbering the subcommand name in args.verb
+    x.add_argument('--verb', dest='verb_x', default='assign',
+                   choices=('assign', 'probs', 'latent', 'reconstruct'))
+    x.add_argument('--out', default=None, metavar='PATH',
+                   help='artifact file; default <run_dir>/<verb>.jaxexport')
+    x.add_argument('--platforms', default=None, metavar='P1,P2',
+                   help="lowering platforms, e.g. 'tpu' to cross-lower a "
+                        'TPU artifact from a CPU host (default: current '
+                        'backend)')
     return p
 
 
@@ -137,7 +154,7 @@ def main(argv=None) -> int:
             if history:
                 print(json.dumps(history[-1]))
         elif args.verb in ('eval', 'sample', 'reconstruct', 'latent',
-                           'assign'):
+                           'assign', 'export'):
             trainer = train_lib.Trainer(cfg)
             state = trainer.init_state()
             run_dir = os.path.join(cfg.run_dir, cfg.name)
@@ -155,6 +172,17 @@ def main(argv=None) -> int:
                       'params', file=sys.stderr)
             if args.verb == 'eval':
                 print(json.dumps(api.eval_elbo(trainer, state)))
+            elif args.verb == 'export':
+                from gmvae_tpu import serving
+                out = args.out or os.path.join(run_dir,
+                                               f'{args.verb_x}.jaxexport')
+                platforms = (args.platforms.split(',')
+                             if args.platforms else None)
+                blob = serving.export_verb(trainer, state, args.verb_x,
+                                           platforms=platforms, path=out)
+                print(json.dumps({'verb': args.verb_x, 'out': out,
+                                  'bytes': len(blob),
+                                  'platforms': platforms or 'default'}))
             elif args.verb == 'assign':
                 import numpy as np
                 if args.input:

@@ -1,0 +1,118 @@
+"""AOT serving exports: serialized, batch-polymorphic StableHLO artifacts.
+
+The reference framework ends at "run the trained graph inside a Python
+session"; a TPU-native production story wants the inference verbs as
+standalone compiled artifacts a serving binary can load WITHOUT the model
+code or Python environment. This module exports the deterministic
+inference verbs (`assign`, `latent`, `reconstruct`) via ``jax.export``:
+
+- trained params are baked into the module as constants, so one file is
+  the whole model (no separate weight loading or Python class);
+- the batch dimension is SYMBOLIC (``jax.export.symbolic_shape``), so a
+  server can feed any batch size through one artifact;
+- ``platforms=['tpu']`` cross-lowers from any host, so artifacts for a
+  TPU fleet can be produced on a CPU build machine;
+- the serialized bytes round-trip with ``jax.export.deserialize`` and run
+  via ``.call(x)`` — asserted equal to the live verbs in
+  tests/test_serving.py.
+
+The verbs wrap the same model methods the live API uses (api.py), so an
+exported artifact and the Python API agree by construction. The fused
+Pallas training head is deliberately NOT part of any export: inference is
+pure XLA, which is what makes the artifact portable across jax versions
+per the jax.export compatibility guarantees.
+
+Usage:
+    python -m gmvae_tpu export --config mnist_k10 --verb assign \
+        --out model.jaxexport [--platforms tpu,cpu]
+    # serving side (any process with jax, no gmvae_tpu needed):
+    #   from jax import export
+    #   fn = export.deserialize(open('model.jaxexport', 'rb').read())
+    #   ids = fn.call(images_f32)           # [B,H,W,C] in [0,1] -> [B]
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+VERBS = ('assign', 'probs', 'latent', 'reconstruct')
+
+
+def _verb_fn(model, verb: str):
+    """(params, x_f32) -> output, for one inference verb."""
+    if verb == 'assign':
+        def fn(params, x):
+            logits = model.apply({'params': params}, x,
+                                 method=model.cluster_logits)
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    elif verb == 'probs':
+        def fn(params, x):
+            logits = model.apply({'params': params}, x,
+                                 method=model.cluster_logits)
+            return jax.nn.softmax(logits, axis=-1)
+    elif verb == 'latent':
+        def fn(params, x):
+            return model.apply({'params': params}, x, method=model.latent)
+    elif verb == 'reconstruct':
+        def fn(params, x):
+            return model.apply({'params': params}, x,
+                               method=model.reconstruct)
+    else:
+        raise ValueError(f'verb must be one of {VERBS}, got {verb!r}')
+    return fn
+
+
+def export_verb(trainer, state, verb: str,
+                platforms: Optional[Sequence[str]] = None,
+                path: Optional[str] = None) -> bytes:
+    """Export one inference verb as serialized StableHLO bytes.
+
+    Args:
+      trainer/state: a trained ``training.Trainer`` + ``TrainState`` (the
+        same pair every api.py verb takes).
+      verb: 'assign' (images -> int32 cluster ids), 'probs' (-> [B,K]
+        responsibilities), 'latent' (-> (z [B,D], probs [B,K])), or
+        'reconstruct' (-> [B,H,W,C] likelihood means).
+      platforms: lowering platforms (default: the current backend). Pass
+        ['tpu'] on a CPU host to cross-lower a TPU artifact.
+      path: optionally also write the bytes to a file.
+
+    Returns the serialized artifact. Input spec: float32
+    ``[b, *image_shape]`` in [0, 1] with ``b`` symbolic.
+    """
+    from jax import export as jexport
+
+    fn = _verb_fn(trainer.model, verb)
+    # bake trained params in as constants: the artifact is self-contained
+    params = jax.tree.map(np.asarray, state.params)
+    closed = functools.partial(fn, params)
+    (b,) = jexport.symbolic_shape('b')
+    x_spec = jax.ShapeDtypeStruct((b, *trainer.cfg.image_shape), jnp.float32)
+    exported = jexport.export(jax.jit(closed),
+                              platforms=tuple(platforms) if platforms
+                              else None)(x_spec)
+    blob = bytes(exported.serialize())
+    if path:
+        with open(path, 'wb') as f:
+            f.write(blob)
+    return blob
+
+
+def load_and_call(blob_or_path, x: np.ndarray):
+    """Rehydrate an artifact and run it (the serving side, in two lines)."""
+    from jax import export as jexport
+
+    if isinstance(blob_or_path, (str, bytes, bytearray)):
+        if isinstance(blob_or_path, str):
+            with open(blob_or_path, 'rb') as f:
+                blob = f.read()
+        else:
+            blob = bytes(blob_or_path)
+    else:
+        raise TypeError(type(blob_or_path))
+    return jexport.deserialize(blob).call(jnp.asarray(x, jnp.float32))

@@ -1,0 +1,114 @@
+"""AOT serving exports (gmvae_tpu/serving.py): serialized batch-polymorphic
+StableHLO artifacts for the inference verbs, asserted equal to the live
+API on the same inputs, self-contained (params baked in), and
+cross-lowerable for TPU from a CPU host."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from gmvae_tpu import api, configs, serving
+from gmvae_tpu import training as train_lib
+
+
+@pytest.fixture(scope='module')
+def trained(tmp_path_factory):
+    cfg = configs.synthetic_tiny(
+        steps=120, eval_every=120, ckpt_every=0,
+        run_dir=str(tmp_path_factory.mktemp('serving_runs')))
+    trainer, state, _ = train_lib.fit(cfg)
+    return cfg, trainer, state
+
+
+def test_assign_artifact_matches_live_api(trained, tmp_path):
+    cfg, trainer, state = trained
+    path = os.path.join(tmp_path, 'assign.jaxexport')
+    blob = serving.export_verb(trainer, state, 'assign', path=path)
+    assert os.path.getsize(path) == len(blob) > 0
+
+    xs = trainer.dataset.test_x[:48]
+    got = np.asarray(serving.load_and_call(path,
+                                           xs.astype(np.float32) / 255.0))
+    want = api.cluster_assign(trainer, state, xs)
+    np.testing.assert_array_equal(got, want)
+    assert got.dtype == np.int32
+
+
+def test_artifact_is_batch_polymorphic(trained):
+    """One artifact serves ANY batch size (symbolic leading dim)."""
+    cfg, trainer, state = trained
+    blob = serving.export_verb(trainer, state, 'probs')
+    for n in (1, 7, 64):
+        x = trainer.dataset.test_x[:n].astype(np.float32) / 255.0
+        probs = np.asarray(serving.load_and_call(blob, x))
+        assert probs.shape == (n, cfg.n_components)
+        np.testing.assert_allclose(probs.sum(-1), 1.0, rtol=1e-5)
+
+
+def test_reconstruct_and_latent_artifacts(trained):
+    cfg, trainer, state = trained
+    xs = trainer.dataset.test_x[:16]
+    xf = xs.astype(np.float32) / 255.0
+
+    rec = np.asarray(serving.load_and_call(
+        serving.export_verb(trainer, state, 'reconstruct'), xf))
+    np.testing.assert_allclose(rec, api.reconstruct(trainer, state, xs),
+                               rtol=1e-5, atol=1e-6)
+
+    z, probs = serving.load_and_call(
+        serving.export_verb(trainer, state, 'latent'), xf)
+    z_live, probs_live = api.latent_embed(trainer, state, xs)
+    np.testing.assert_allclose(np.asarray(z), z_live, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(probs), probs_live,
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_artifact_is_self_contained(trained):
+    """Deserialization + call needs only jax.export — params are baked-in
+    constants, no gmvae_tpu import, no checkpoint file."""
+    cfg, trainer, state = trained
+    blob = serving.export_verb(trainer, state, 'assign')
+    from jax import export as jexport
+    fn = jexport.deserialize(blob)
+    x = trainer.dataset.test_x[:8].astype(np.float32) / 255.0
+    out = np.asarray(fn.call(x))
+    assert out.shape == (8,)
+    # the artifact embeds the trained weights: a fresh-params export differs
+    state0 = trainer.init_state()
+    blob0 = serving.export_verb(trainer, state0, 'probs')
+    x = trainer.dataset.test_x[:32].astype(np.float32) / 255.0
+    p_trained = np.asarray(serving.load_and_call(
+        serving.export_verb(trainer, state, 'probs'), x))
+    p_init = np.asarray(serving.load_and_call(blob0, x))
+    assert not np.allclose(p_trained, p_init)
+
+
+def test_cross_platform_tpu_export_from_cpu(trained):
+    """platforms=['tpu'] lowers a TPU artifact on this CPU host (it cannot
+    be CALLED here — only serialized — which is the build-machine story)."""
+    cfg, trainer, state = trained
+    blob = serving.export_verb(trainer, state, 'assign', platforms=['tpu'])
+    assert len(blob) > 0
+    from jax import export as jexport
+    assert 'tpu' in tuple(jexport.deserialize(blob).platforms)
+
+
+def test_deep_variant_exports_too(tmp_path_factory):
+    cfg = configs.synthetic_tiny(
+        model_family='deep', w_dim=4, prior_hidden=16, steps=60,
+        eval_every=60, ckpt_every=0,
+        run_dir=str(tmp_path_factory.mktemp('serving_deep')))
+    trainer, state, _ = train_lib.fit(cfg)
+    xs = trainer.dataset.test_x[:8]
+    got = np.asarray(serving.load_and_call(
+        serving.export_verb(trainer, state, 'assign'),
+        xs.astype(np.float32) / 255.0))
+    np.testing.assert_array_equal(got, api.cluster_assign(trainer, state, xs))
+
+
+def test_unknown_verb_rejected(trained):
+    cfg, trainer, state = trained
+    with pytest.raises(ValueError, match='verb'):
+        serving.export_verb(trainer, state, 'nope')
