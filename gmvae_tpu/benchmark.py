@@ -32,9 +32,18 @@ def run_bench(cfg=None, steps: int = 2000, scan_steps: int = 100,
     ds = data_lib.load(cfg.dataset)
     trainer = train_lib.Trainer(cfg, ds)
     state = trainer.init_state()
-    idx = trainer.batch_plan(scan_steps)  # one chunk's plan, reused
 
     import numpy as np
+
+    idx = trainer.batch_plan(scan_steps)  # one chunk's plan, reused
+    if trainer.x_all is None:
+        # host_stream placement: re-stage the chunk's batches from host
+        # every iteration so the measured rate includes the gather +
+        # host->device put that real streaming training pays
+        idx_host = np.asarray(idx)
+        payload = lambda: trainer.stage_batches(idx_host)
+    else:
+        payload = lambda: idx
 
     def sync(m):
         # device->host scalar fetch: a REAL fence. (On the axon remote
@@ -47,14 +56,14 @@ def run_bench(cfg=None, steps: int = 2000, scan_steps: int = 100,
     # the compile-exclusion test uses it as the control)
     m = None
     for _ in range(warmup_chunks):
-        state, m = trainer.run_chunk(state, idx)
+        state, m = trainer.run_chunk(state, payload())
     if m is not None:
         sync(m)
 
     n_chunks = max(1, steps // scan_steps)
     t0 = time.perf_counter()
     for _ in range(n_chunks):
-        state, m = trainer.run_chunk(state, idx)
+        state, m = trainer.run_chunk(state, payload())
     sync(m)
     dt = time.perf_counter() - t0
 

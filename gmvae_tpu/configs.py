@@ -110,6 +110,17 @@ class Config:
     # chip's HBM (CelebA on a v5e-16 pod slice). Multi-host, each process
     # feeds only its own rows (parallel/mesh.py put_sharded/process_shard).
     data_sharding: str = 'replicated'   # replicated|sharded
+    # 'device': the uint8 training set is device-resident and the hot loop
+    # gathers batches in-program (the default; fastest, needs the dataset
+    # to fit in HBM — or 1/n_dp of it with data_sharding='sharded').
+    # 'host_stream': the dataset stays in HOST memory; each scan-chunk's
+    # batches are gathered on host from the SAME index plan and staged to
+    # the device asynchronously while the previous chunk computes (double-
+    # buffered by dispatch order — no threads). Trajectories are bit-
+    # identical to 'device' mode (tests/test_stream.py); per-chunk staging
+    # HBM is scan_steps*batch_size images instead of the whole dataset, so
+    # datasets >> HBM can train. Requires data_sharding='replicated'.
+    data_placement: str = 'device'      # device|host_stream
 
     # io
     run_dir: str = 'runs'

@@ -284,6 +284,39 @@ def make_train_chunk(model: GMVAE, cfg: Config, mesh,
     return jax.jit(sharded, donate_argnums=(0,))
 
 
+def make_train_chunk_stream(model: GMVAE, cfg: Config, mesh,
+                            tx: optax.GradientTransformation,
+                            check_vma: bool = True):
+    """Streaming variant of ``make_train_chunk``: batches arrive staged.
+
+    Args of the returned fn:
+      state:    replicated TrainState
+      batches:  [S, B_global, H, W, C] uint8 batch stack, sharded over the
+                batch axis — gathered on HOST from the same index plan
+                ``make_train_chunk`` would read on device
+      base_key: replicated PRNG key
+
+    The scan body consumes ``batches[s]`` directly instead of gathering
+    from a device-resident dataset, so the dataset never needs to fit in
+    HBM; each shard block sees its own [S, B_local, ...] slice and the
+    per-step math (preprocess -> grad -> psum -> update) is byte-for-byte
+    the same step_fn — trajectories match 'device' placement bit-exactly
+    (tests/test_stream.py).
+    """
+    step_fn = make_train_step(model, cfg, tx)
+
+    def chunk(state, batches, base_key):
+        def body(st, batch_u8):
+            return step_fn(st, batch_u8, base_key)
+        return jax.lax.scan(body, state, batches)
+
+    sharded = jax.shard_map(
+        chunk, mesh=mesh,
+        in_specs=(P(), P(None, DATA), P()),
+        out_specs=(P(), P()), check_vma=check_vma)
+    return jax.jit(sharded, donate_argnums=(0,))
+
+
 def make_eval_step(model: GMVAE, cfg: Config, mesh):
     """Global-jit eval batch: per-sample ELBO + cluster assignment.
 
@@ -378,11 +411,32 @@ class Trainer:
         if cfg.data_sharding not in ('replicated', 'sharded'):
             raise ValueError(f'data_sharding must be replicated|sharded, '
                              f'got {cfg.data_sharding!r}')
+        if cfg.data_placement not in ('device', 'host_stream'):
+            raise ValueError(f'data_placement must be device|host_stream, '
+                             f'got {cfg.data_placement!r}')
+        if (cfg.data_placement == 'host_stream'
+                and cfg.data_sharding != 'replicated'):
+            # streaming already bounds HBM to the staging buffers; the
+            # sharded-dataset layout solves the same problem a different
+            # way and its per-shard plans don't apply to staged batches
+            raise ValueError("data_placement='host_stream' requires "
+                             "data_sharding='replicated'")
         self.dataset = dataset or data_lib.load(cfg.dataset)
         self.model = make_model(cfg)
         self.tx = make_optimizer(cfg)
-        self.train_chunk = make_train_chunk(self.model, cfg, self.mesh, self.tx)
         self.eval_step = make_eval_step(self.model, cfg, self.mesh)
+        self.base_key = jax.random.PRNGKey(cfg.seed)
+        if cfg.data_placement == 'host_stream':
+            # dataset stays in host RAM; chunks stage their batches via an
+            # async host->device put (iter_chunk_plans), so HBM holds only
+            # in-flight staging buffers — datasets >> HBM can train
+            self.train_chunk = make_train_chunk_stream(self.model, cfg,
+                                                       self.mesh, self.tx)
+            self.train_x_host = np.ascontiguousarray(self.dataset.train_x)
+            self.x_all = None
+            self.n_local = int(self.train_x_host.shape[0])
+            return
+        self.train_chunk = make_train_chunk(self.model, cfg, self.mesh, self.tx)
         # device-resident training images (uint8: 4x smaller than f32 in
         # HBM). 'replicated': full copy per device via put_global (multi-
         # host-safe, SURVEY.md §5.8). 'sharded': partitioned over the data
@@ -396,7 +450,6 @@ class Trainer:
             self.x_all = mesh_lib.put_global(self.mesh, P(),
                                              self.dataset.train_x)
             self.n_local = int(self.x_all.shape[0])
-        self.base_key = jax.random.PRNGKey(cfg.seed)
 
     # -- state ----------------------------------------------------------
     def init_state(self) -> TrainState:
@@ -458,8 +511,27 @@ class Trainer:
         return mesh_lib.put_global(self.mesh, P(None, DATA), idx)
 
     # -- loops ----------------------------------------------------------
-    def run_chunk(self, state: TrainState, idx: jax.Array):
-        return self.train_chunk(state, self.x_all, idx, self.base_key)
+    def run_chunk(self, state: TrainState, payload: jax.Array):
+        """One compiled chunk. ``payload`` is what ``iter_chunk_plans``
+        yielded: a device batch-index slice ('device' placement) or a
+        staged uint8 batch stack ('host_stream')."""
+        if self.x_all is None:
+            return self.train_chunk(state, payload, self.base_key)
+        return self.train_chunk(state, self.x_all, payload, self.base_key)
+
+    def stage_batches(self, idx_host: np.ndarray) -> jax.Array:
+        """Host-gather one chunk's batches and start their device transfer.
+
+        ``idx_host``: [S, B_global] int32 rows into the host dataset.
+        Returns a [S, B_global, ...] uint8 global array sharded over the
+        batch axis. ``put_global`` is an ASYNC host->device put, and jit
+        dispatch is async too — so by yielding the staged array before the
+        previous chunk finishes, the DMA for chunk i+1 overlaps chunk i's
+        compute with no threads (the TPU-native double-buffer).
+        """
+        rows = self.train_x_host[idx_host.reshape(-1)]
+        batches = rows.reshape(*idx_host.shape, *self.train_x_host.shape[1:])
+        return mesh_lib.put_global(self.mesh, P(None, DATA), batches)
 
     def iter_chunk_plans(self, start: int, total: int):
         """Yield per-chunk batch plans ``(n_steps, idx)`` for steps
@@ -484,6 +556,7 @@ class Trainer:
         window = max(chunk,
                      (2_000_000 // self.cfg.batch_size) // chunk * chunk)
         multi_window = total - start > window
+        stream = self.x_all is None
         plan_buf, plan_base = None, 0
         pos = start
         while pos < total:
@@ -491,9 +564,14 @@ class Trainer:
             if plan_buf is None or pos + s > plan_base + plan_buf.shape[0]:
                 w = window if multi_window else total - pos
                 plan_buf = self.batch_plan(w, start_step=pos)
+                if stream:
+                    # one host fetch per SUPER-chunk (amortized), so the
+                    # per-chunk staging below is pure host gather + async put
+                    plan_buf = np.asarray(plan_buf)
                 plan_base = pos
             off = pos - plan_base
-            yield s, plan_buf[off:off + s]
+            sl = plan_buf[off:off + s]
+            yield s, (self.stage_batches(sl) if stream else sl)
             pos += s
 
     def evaluate(self, state: TrainState, max_examples: Optional[int] = None
