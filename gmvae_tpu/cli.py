@@ -106,6 +106,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="lowering platforms, e.g. 'tpu' to cross-lower a "
                         'TPU artifact from a CPU host (default: current '
                         'backend)')
+    x.add_argument('--dp-batch', type=int, default=None, metavar='N',
+                   help='export a DATA-PARALLEL artifact: batch axis '
+                        'sharded over the config mesh (fixed batch N '
+                        'split across its devices) instead of the '
+                        'single-device symbolic-batch default')
     return p
 
 
@@ -179,10 +184,12 @@ def main(argv=None) -> int:
                 platforms = (args.platforms.split(',')
                              if args.platforms else None)
                 blob = serving.export_verb(trainer, state, args.verb_x,
-                                           platforms=platforms, path=out)
+                                           platforms=platforms, path=out,
+                                           dp_batch=args.dp_batch)
                 print(json.dumps({'verb': args.verb_x, 'out': out,
                                   'bytes': len(blob),
-                                  'platforms': platforms or 'default'}))
+                                  'platforms': platforms or 'default',
+                                  'dp_batch': args.dp_batch}))
             elif args.verb == 'assign':
                 import numpy as np
                 if args.input:

@@ -69,7 +69,8 @@ def _verb_fn(model, verb: str):
 
 def export_verb(trainer, state, verb: str,
                 platforms: Optional[Sequence[str]] = None,
-                path: Optional[str] = None) -> bytes:
+                path: Optional[str] = None,
+                dp_batch: Optional[int] = None) -> bytes:
     """Export one inference verb as serialized StableHLO bytes.
 
     Args:
@@ -81,9 +82,18 @@ def export_verb(trainer, state, verb: str,
       platforms: lowering platforms (default: the current backend). Pass
         ['tpu'] on a CPU host to cross-lower a TPU artifact.
       path: optionally also write the bytes to a file.
+      dp_batch: None (default) exports a SINGLE-device artifact with a
+        symbolic batch dimension — one file serves any batch size. An
+        integer exports a DATA-PARALLEL artifact over the trainer's mesh:
+        the batch axis is sharded ``P('data')`` across all
+        ``trainer.mesh`` devices (params replicated), so one artifact
+        serves batches of exactly ``dp_batch`` images split over the
+        slice's chips. Sharding constraints need concrete dims, so DP
+        artifacts are fixed-batch (pad the last server batch).
+        ``dp_batch`` must divide by the mesh's data-axis size.
 
     Returns the serialized artifact. Input spec: float32
-    ``[b, *image_shape]`` in [0, 1] with ``b`` symbolic.
+    ``[b, *image_shape]`` in [0, 1].
     """
     from jax import export as jexport
 
@@ -91,11 +101,24 @@ def export_verb(trainer, state, verb: str,
     # bake trained params in as constants: the artifact is self-contained
     params = jax.tree.map(np.asarray, state.params)
     closed = functools.partial(fn, params)
-    (b,) = jexport.symbolic_shape('b')
-    x_spec = jax.ShapeDtypeStruct((b, *trainer.cfg.image_shape), jnp.float32)
-    exported = jexport.export(jax.jit(closed),
-                              platforms=tuple(platforms) if platforms
-                              else None)(x_spec)
+    plats = tuple(platforms) if platforms else None
+    if dp_batch is None:
+        (b,) = jexport.symbolic_shape('b')
+        x_spec = jax.ShapeDtypeStruct((b, *trainer.cfg.image_shape),
+                                      jnp.float32)
+        exported = jexport.export(jax.jit(closed), platforms=plats)(x_spec)
+    else:
+        from jax.sharding import NamedSharding, PartitionSpec
+        from gmvae_tpu.parallel import mesh as mesh_lib
+        n_dp = trainer.mesh.shape[mesh_lib.DATA_AXIS]
+        if dp_batch % n_dp:
+            raise ValueError(f'dp_batch {dp_batch} must divide by the '
+                             f'data-axis size {n_dp}')
+        sh = NamedSharding(trainer.mesh, PartitionSpec(mesh_lib.DATA_AXIS))
+        jitted = jax.jit(closed, in_shardings=sh, out_shardings=sh)
+        x_spec = jax.ShapeDtypeStruct((dp_batch, *trainer.cfg.image_shape),
+                                      jnp.float32, sharding=sh)
+        exported = jexport.export(jitted, platforms=plats)(x_spec)
     blob = bytes(exported.serialize())
     if path:
         with open(path, 'wb') as f:
@@ -104,7 +127,13 @@ def export_verb(trainer, state, verb: str,
 
 
 def load_and_call(blob_or_path, x: np.ndarray):
-    """Rehydrate an artifact and run it (the serving side, in two lines)."""
+    """Rehydrate an artifact and run it (the serving side, in two lines).
+
+    Single-device artifacts take any batch size. Data-parallel artifacts
+    (``dp_batch``) need ``exported.nr_devices`` local devices — the input
+    is assembled here as a global array sharded over a freshly built
+    1-D mesh of that many devices, matching the export-time layout.
+    """
     from jax import export as jexport
 
     if isinstance(blob_or_path, (str, bytes, bytearray)):
@@ -115,4 +144,15 @@ def load_and_call(blob_or_path, x: np.ndarray):
             blob = bytes(blob_or_path)
     else:
         raise TypeError(type(blob_or_path))
-    return jexport.deserialize(blob).call(jnp.asarray(x, jnp.float32))
+    exported = jexport.deserialize(blob)
+    x = jnp.asarray(x, jnp.float32)
+    if exported.nr_devices > 1:
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec
+        devs = jax.devices()
+        if len(devs) < exported.nr_devices:
+            raise ValueError(
+                f'artifact was exported for {exported.nr_devices} devices; '
+                f'only {len(devs)} available')
+        mesh = Mesh(np.asarray(devs[:exported.nr_devices]), ('data',))
+        x = jax.device_put(x, NamedSharding(mesh, PartitionSpec('data')))
+    return exported.call(x)

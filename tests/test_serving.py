@@ -108,6 +108,91 @@ def test_deep_variant_exports_too(tmp_path_factory):
     np.testing.assert_array_equal(got, api.cluster_assign(trainer, state, xs))
 
 
+def test_data_parallel_artifact(tmp_path_factory):
+    """dp_batch exports a sharded artifact over the full 8-device mesh;
+    it reproduces the live API on the same inputs and records the device
+    count it needs."""
+    n = jax.device_count()
+    assert n == 8, 'conftest forces 8 fake devices'
+    cfg = configs.synthetic_tiny(
+        steps=60, eval_every=60, ckpt_every=0, dp_devices=n,
+        run_dir=str(tmp_path_factory.mktemp('serving_dp')))
+    trainer, state, _ = train_lib.fit(cfg)
+
+    blob = serving.export_verb(trainer, state, 'assign', dp_batch=64)
+    from jax import export as jexport
+    assert jexport.deserialize(blob).nr_devices == n
+
+    xs = trainer.dataset.test_x[:64]
+    got = np.asarray(serving.load_and_call(blob,
+                                           xs.astype(np.float32) / 255.0))
+    np.testing.assert_array_equal(got,
+                                  api.cluster_assign(trainer, state, xs))
+
+    z, probs = serving.load_and_call(
+        serving.export_verb(trainer, state, 'latent', dp_batch=64),
+        xs.astype(np.float32) / 255.0)
+    z_live, probs_live = api.latent_embed(trainer, state, xs)
+    np.testing.assert_allclose(np.asarray(z), z_live, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(probs), probs_live,
+                               rtol=1e-5, atol=1e-6)
+
+    with pytest.raises(ValueError, match='divide'):
+        serving.export_verb(trainer, state, 'assign', dp_batch=63)
+
+
+def test_http_server_roundtrip(trained, tmp_path):
+    """tools/serve_http.py serves an artifact over HTTP: npy in, npz out,
+    equal to the live API; bad input gets a 400 with a JSON error."""
+    import io
+    import json
+    import sys
+    import threading
+    import urllib.request
+    import urllib.error
+
+    sys.path.insert(0, 'tools')
+    try:
+        import serve_http
+    finally:
+        sys.path.pop(0)
+
+    cfg, trainer, state = trained
+    path = os.path.join(tmp_path, 'assign.jaxexport')
+    serving.export_verb(trainer, state, 'assign', path=path)
+    srv = serve_http.make_server(path, port=0)   # ephemeral port
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f'http://{srv.server_address[0]}:{srv.server_address[1]}'
+        with urllib.request.urlopen(url + '/healthz', timeout=30) as r:
+            assert r.read() == b'ok'
+
+        xs = trainer.dataset.test_x[:24]
+        buf = io.BytesIO()
+        np.save(buf, xs.astype(np.float32) / 255.0)
+        with urllib.request.urlopen(
+                urllib.request.Request(url + '/predict',
+                                       data=buf.getvalue()),
+                timeout=120) as r:
+            outs = np.load(io.BytesIO(r.read()))
+        np.testing.assert_array_equal(outs['out0'],
+                                      api.cluster_assign(trainer, state, xs))
+
+        # malformed payload -> 400 with a JSON error body
+        try:
+            urllib.request.urlopen(
+                urllib.request.Request(url + '/predict', data=b'not-npy'),
+                timeout=30)
+            raise AssertionError('expected HTTP 400')
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert 'error' in json.loads(e.read())
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
 def test_unknown_verb_rejected(trained):
     cfg, trainer, state = trained
     with pytest.raises(ValueError, match='verb'):
