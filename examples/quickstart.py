@@ -45,7 +45,19 @@ def main():
     print('artifacts in', out_dir, '->', sorted(os.listdir(out_dir)))
     assert np.isfinite(z).all()
 
-    # 6) the other two model families share the identical verb surface:
+    # 6) AOT serving export: one self-contained batch-polymorphic artifact
+    #    per inference verb; the serving side needs only jax
+    #    (gmvae_tpu/serving.py; HTTP front: tools/serve_http.py)
+    artifact = os.path.join(out_dir, 'assign.jaxexport')
+    g.export_verb(trainer, state, 'assign', path=artifact)
+    from jax import export as jexport
+    fn = jexport.deserialize(open(artifact, 'rb').read())
+    x = trainer.dataset.test_x[:32].astype(np.float32) / 255.0
+    assert (np.asarray(fn.call(x)) == yhat[:32]).all()
+    print('serving artifact:', artifact,
+          f'({os.path.getsize(artifact)} bytes, any batch size)')
+
+    # 7) the other two model families share the identical verb surface:
     #    the plain VAE is the K=1 degenerate config ('mnist_vae' at real
     #    scale), the deep-mixture variant is model_family='deep'
     #    ('mnist_deepmix' at real scale; models/deep.py)

@@ -123,6 +123,23 @@ def export_verb(trainer, state, verb: str,
     if path:
         with open(path, 'wb') as f:
             f.write(blob)
+        # metadata sidecar: a fleet operator can identify an artifact
+        # without deserializing it (what model/verb/step, which devices)
+        import json
+        meta = {
+            'verb': verb,
+            'config': trainer.cfg.name,
+            'model_family': trainer.cfg.model_family,
+            'image_shape': list(trainer.cfg.image_shape),
+            'n_components': trainer.cfg.n_components,
+            'trained_step': int(state.step),
+            'dp_batch': dp_batch,
+            'nr_devices': int(exported.nr_devices),
+            'platforms': list(exported.platforms),
+            'jax_version': jax.__version__,
+        }
+        with open(path + '.json', 'w') as f:
+            json.dump(meta, f, indent=1)
     return blob
 
 

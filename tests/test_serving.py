@@ -35,6 +35,15 @@ def test_assign_artifact_matches_live_api(trained, tmp_path):
     np.testing.assert_array_equal(got, want)
     assert got.dtype == np.int32
 
+    # metadata sidecar identifies the artifact without deserializing it
+    import json
+    with open(path + '.json') as f:
+        meta = json.load(f)
+    assert meta['verb'] == 'assign'
+    assert meta['config'] == cfg.name
+    assert meta['nr_devices'] == 1 and meta['dp_batch'] is None
+    assert meta['image_shape'] == list(cfg.image_shape)
+
 
 def test_artifact_is_batch_polymorphic(trained):
     """One artifact serves ANY batch size (symbolic leading dim)."""
