@@ -35,14 +35,14 @@ def run_bench(cfg=None, steps: int = 2000, scan_steps: int = 100,
 
     import numpy as np
 
-    idx = trainer.batch_plan(scan_steps)  # one chunk's plan, reused
     if trainer.x_all is None:
         # host_stream placement: re-stage the chunk's batches from host
         # every iteration so the measured rate includes the gather +
         # host->device put that real streaming training pays
-        idx_host = np.asarray(idx)
+        idx_host = trainer.batch_plan_host(scan_steps)
         payload = lambda: trainer.stage_batches(idx_host)
     else:
+        idx = trainer.batch_plan(scan_steps)  # one chunk's plan, reused
         payload = lambda: idx
 
     def sync(m):

@@ -494,6 +494,11 @@ class Trainer:
         block carries local row numbers, matching its x_all block.
         """
         plan_key = jax.random.fold_in(self.base_key, 1)
+        if self.cfg.data_placement == 'host_stream':
+            raise RuntimeError('host_stream placement uses batch_plan_host '
+                               '(plans must be host arrays to gather from '
+                               'host RAM; a global device plan cannot be '
+                               'fetched on a multi-process mesh)')
         if self.cfg.data_sharding == 'sharded':
             b_local = self.cfg.batch_size // self.n_dp
             shard_keys = jax.vmap(lambda s: jax.random.fold_in(plan_key, s))(
@@ -509,6 +514,24 @@ class Trainer:
                                                self.cfg.batch_size, n_steps,
                                                start_step)
         return mesh_lib.put_global(self.mesh, P(None, DATA), idx)
+
+    def batch_plan_host(self, n_steps: int, start_step: int = 0) -> np.ndarray:
+        """The host-side batch plan for 'host_stream' placement.
+
+        Same values as ``batch_plan``'s replicated stream (identical
+        ``epoch_batch_indices`` derivation — that is what makes stream
+        trajectories bit-equal to device placement), but returned as host
+        numpy: streaming gathers rows from host RAM, and on a multi-
+        process mesh a device-global plan could not even be fetched back
+        (non-addressable shards). Every process computes the identical
+        plan from the config seed — the multi-host invariant all our
+        plans rely on (SURVEY.md §5.8).
+        """
+        plan_key = jax.random.fold_in(self.base_key, 1)
+        idx = data_lib.epoch_batch_indices(plan_key, self.n_local,
+                                           self.cfg.batch_size, n_steps,
+                                           start_step)
+        return np.asarray(idx)
 
     # -- loops ----------------------------------------------------------
     def run_chunk(self, state: TrainState, payload: jax.Array):
@@ -563,11 +586,8 @@ class Trainer:
             s = min(chunk, total - pos)
             if plan_buf is None or pos + s > plan_base + plan_buf.shape[0]:
                 w = window if multi_window else total - pos
-                plan_buf = self.batch_plan(w, start_step=pos)
-                if stream:
-                    # one host fetch per SUPER-chunk (amortized), so the
-                    # per-chunk staging below is pure host gather + async put
-                    plan_buf = np.asarray(plan_buf)
+                plan_buf = (self.batch_plan_host(w, start_step=pos) if stream
+                            else self.batch_plan(w, start_step=pos))
                 plan_base = pos
             off = pos - plan_base
             sl = plan_buf[off:off + s]

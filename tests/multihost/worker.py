@@ -68,6 +68,24 @@ same_sh = bool(np.array_equal(g_sh[0], g_sh[1]))
 elbo_sh = np.asarray(m_sh['elbo'].addressable_shards[0].data)
 finite_sh = bool(np.isfinite(elbo_sh).all())
 
+# --- host_stream placement across processes: per-chunk batches staged as
+# GLOBAL arrays sharded over 'data' (put_global) from identical host plans;
+# must reproduce the replicated device-placement chunk bit-for-bit --------
+cfg_st = cfg.replace(name='mh_stream', data_placement='host_stream')
+tr_st = train_lib.Trainer(cfg_st, ds)
+st_st = tr_st.init_state()
+st_st, m_st = tr_st.run_chunk(st_st,
+                              tr_st.stage_batches(tr_st.batch_plan_host(2)))
+tr_dev = train_lib.Trainer(cfg.replace(name='mh_dev'), ds)
+st_dev = tr_dev.init_state()
+st_dev, _ = tr_dev.run_chunk(st_dev, tr_dev.batch_plan(2))
+l_st = np.asarray(jax.tree.leaves(st_st.params)[0].addressable_shards[0].data)
+l_dev = np.asarray(
+    jax.tree.leaves(st_dev.params)[0].addressable_shards[0].data)
+stream_eq_dev = bool(np.array_equal(l_st, l_dev))
+g_st = multihost_utils.process_allgather(l_st)
+stream_same = bool(np.array_equal(g_st[0], g_st[1]))
+
 # --- Trainer.evaluate over the global mesh (VERDICT r2 missing #1: eval
 # used to feed host-local arrays and would crash any multi-process mesh) ---
 ev = tr.evaluate(st, max_examples=96)
@@ -100,6 +118,7 @@ fit_eval_same = bool(np.allclose(g_last[0], g_last[1]))
 
 print(f'[p{pid}] RESULT params_identical={same} elbo_identical={same_elbo} '
       f'elbo_last={float(elbo_g[0][-1]):.4f} '
+      f'stream_eq_device={stream_eq_dev} stream_identical={stream_same} '
       f'sharded_params_identical={same_sh} sharded_finite={finite_sh} '
       f'eval_identical={eval_same} eval_finite={eval_finite} '
       f'resume_matches_uninterrupted={resume_match} '

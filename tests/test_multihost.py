@@ -48,6 +48,8 @@ def test_two_process_dp_train_eval_resume(tmp_path):
     for i, out in enumerate(outs):
         assert 'params_identical=True' in out, out[-2000:]
         assert 'elbo_identical=True' in out, out[-2000:]
+        assert 'stream_eq_device=True' in out, out[-2000:]
+        assert 'stream_identical=True' in out, out[-2000:]
         assert 'sharded_params_identical=True' in out, out[-2000:]
         assert 'sharded_finite=True' in out, out[-2000:]
         assert 'eval_identical=True' in out, out[-2000:]

@@ -56,11 +56,38 @@ def test_stream_dataset_never_device_resident(tmp_path):
     assert isinstance(tr.train_x_host, np.ndarray)
     # staging one chunk produces a [S, B, H, W, C] device array sharded
     # over the batch axis, with exactly the plan's rows
-    idx = np.asarray(tr.batch_plan(3))
+    idx = tr.batch_plan_host(3)
     staged = tr.stage_batches(idx)
     assert staged.shape == (3, cfg.batch_size, *cfg.image_shape)
     np.testing.assert_array_equal(np.asarray(staged)[0],
                                   tr.train_x_host[idx[0]])
+
+
+def test_batch_plan_host_matches_device_plan(tmp_path):
+    """The host-side plan (what streaming gathers from) is value-identical
+    to the device-resident plan (what the in-program gather reads) — the
+    invariant that makes stream trajectories bit-equal."""
+    cfg = configs.synthetic_tiny(run_dir=str(tmp_path))
+    tr = train_lib.Trainer(cfg)
+    np.testing.assert_array_equal(np.asarray(tr.batch_plan(7)),
+                                  tr.batch_plan_host(7))
+    np.testing.assert_array_equal(np.asarray(tr.batch_plan(5, start_step=3)),
+                                  tr.batch_plan_host(5, start_step=3))
+
+
+def test_stream_resume_matches_uninterrupted(tmp_path):
+    cfg = configs.synthetic_tiny(
+        steps=120, eval_every=60, ckpt_every=60,
+        data_placement='host_stream', run_dir=str(tmp_path))
+    _, st_a, _ = train_lib.fit(cfg)
+    cfg_b = cfg.replace(name='resumed')
+    train_lib.fit(cfg_b.replace(steps=60))
+    _, st_b, _ = train_lib.fit(cfg_b, resume=True)
+    assert int(st_b.step) == 120
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        st_a.params, st_b.params)
 
 
 def test_stream_rejects_sharded_dataset(tmp_path):
