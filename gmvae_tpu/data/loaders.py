@@ -417,12 +417,19 @@ def make_synthetic_hard(seed: int = 77) -> Dataset:
 
 
 def load(name: str, data_dir: Optional[str] = None,
-         allow_synthetic_fallback: bool = True) -> Dataset:
+         allow_synthetic_fallback: bool = True,
+         image_shape: Optional[tuple] = None) -> Dataset:
     """Load a dataset by BASELINE config name (mnist|fmnist|svhn|cifar10|
     celeba|synthetic|synthetic_hard), trying local npz -> keras cache ->
-    synthetic."""
+    synthetic.
+
+    ``image_shape`` parameterizes only the 'synthetic' dataset (so a
+    config with a non-default shape — e.g. a 3-channel conv test config —
+    gets matching data); real datasets and the frozen 'synthetic_hard'
+    fixture have fixed shapes and ignore it.
+    """
     if name == 'synthetic':
-        return make_synthetic()
+        return make_synthetic(image_shape=image_shape or (8, 8, 1))
     if name == 'synthetic_hard':
         return make_synthetic_hard()
     if name not in _SHAPES:

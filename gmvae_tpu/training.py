@@ -421,7 +421,8 @@ class Trainer:
             # way and its per-shard plans don't apply to staged batches
             raise ValueError("data_placement='host_stream' requires "
                              "data_sharding='replicated'")
-        self.dataset = dataset or data_lib.load(cfg.dataset)
+        self.dataset = dataset or data_lib.load(cfg.dataset,
+                                                image_shape=cfg.image_shape)
         self.model = make_model(cfg)
         self.tx = make_optimizer(cfg)
         self.eval_step = make_eval_step(self.model, cfg, self.mesh)

@@ -202,6 +202,27 @@ def test_http_server_roundtrip(trained, tmp_path):
         srv.server_close()
 
 
+@pytest.mark.parametrize('arch', ['conv', 'resnet'])
+def test_conv_family_exports(arch, tmp_path_factory):
+    """The Gaussian-likelihood conv/ResNet families export and reproduce
+    the live API too (reconstruct exercises the transposed-conv decoder)."""
+    cfg = configs.synthetic_tiny(
+        arch=arch, image_shape=(8, 8, 3), likelihood='gaussian',
+        binarize=False, enc_hidden=(8, 16), dec_hidden=(16, 8),
+        latent_dim=8, steps=40, eval_every=40, ckpt_every=0,
+        run_dir=str(tmp_path_factory.mktemp(f'serving_{arch}')))
+    trainer, state, _ = train_lib.fit(cfg)
+    xs = trainer.dataset.test_x[:8]
+    xf = xs.astype(np.float32) / 255.0
+    got = np.asarray(serving.load_and_call(
+        serving.export_verb(trainer, state, 'assign'), xf))
+    np.testing.assert_array_equal(got, api.cluster_assign(trainer, state, xs))
+    rec = np.asarray(serving.load_and_call(
+        serving.export_verb(trainer, state, 'reconstruct'), xf))
+    np.testing.assert_allclose(rec, api.reconstruct(trainer, state, xs),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_unknown_verb_rejected(trained):
     cfg, trainer, state = trained
     with pytest.raises(ValueError, match='verb'):
