@@ -111,6 +111,9 @@ def build_parser() -> argparse.ArgumentParser:
                         'sharded over the config mesh (fixed batch N '
                         'split across its devices) instead of the '
                         'single-device symbolic-batch default')
+    x.add_argument('--quantize', default=None, choices=('int8',),
+                   help='weight-only int8 artifact (~4x smaller; '
+                        'per-output-channel scales, on-device dequant)')
     return p
 
 
@@ -185,11 +188,13 @@ def main(argv=None) -> int:
                              if args.platforms else None)
                 blob = serving.export_verb(trainer, state, args.verb_x,
                                            platforms=platforms, path=out,
-                                           dp_batch=args.dp_batch)
+                                           dp_batch=args.dp_batch,
+                                           quantize=args.quantize)
                 print(json.dumps({'verb': args.verb_x, 'out': out,
                                   'bytes': len(blob),
                                   'platforms': platforms or 'default',
-                                  'dp_batch': args.dp_batch}))
+                                  'dp_batch': args.dp_batch,
+                                  'quantize': args.quantize}))
             elif args.verb == 'assign':
                 import numpy as np
                 if args.input:

@@ -202,6 +202,28 @@ def test_http_server_roundtrip(trained, tmp_path):
         srv.server_close()
 
 
+def test_int8_quantized_artifact(trained):
+    """Weight-only int8 export: substantially smaller artifact, near-exact
+    behavior (the only error is int8 rounding of the weight matrices)."""
+    cfg, trainer, state = trained
+    full = serving.export_verb(trainer, state, 'probs')
+    quant = serving.export_verb(trainer, state, 'probs', quantize='int8')
+    assert len(quant) < len(full) / 2.5, (len(quant), len(full))
+
+    xs = trainer.dataset.test_x[:256]
+    xf = xs.astype(np.float32) / 255.0
+    p_full = np.asarray(serving.load_and_call(full, xf))
+    p_quant = np.asarray(serving.load_and_call(quant, xf))
+    # responsibilities shift only by weight-rounding noise...
+    np.testing.assert_allclose(p_quant, p_full, atol=0.05)
+    # ...and hard assignments agree on (at least) 99% of examples
+    agree = (p_quant.argmax(-1) == p_full.argmax(-1)).mean()
+    assert agree >= 0.99, agree
+
+    with pytest.raises(ValueError, match='quantize'):
+        serving.export_verb(trainer, state, 'probs', quantize='fp4')
+
+
 @pytest.mark.parametrize('arch', ['conv', 'resnet'])
 def test_conv_family_exports(arch, tmp_path_factory):
     """The Gaussian-likelihood conv/ResNet families export and reproduce
