@@ -114,6 +114,12 @@ def build_parser() -> argparse.ArgumentParser:
     x.add_argument('--quantize', default=None, choices=('int8',),
                    help='weight-only int8 artifact (~4x smaller; '
                         'per-output-channel scales, on-device dequant)')
+
+    d = sub.add_parser(
+        'describe',
+        help='summarize what a config builds (model family, parameter '
+             'counts by submodule, memory envelopes) without training')
+    common(d)
     return p
 
 
@@ -156,7 +162,37 @@ def main(argv=None) -> int:
         profile_cm.__enter__()
 
     try:
-        if args.verb == 'train':
+        if args.verb == 'describe':
+            import numpy as np
+            from gmvae_tpu.models.gmvae import init_params
+            model = train_lib.make_model(cfg)
+            params = init_params(model, jax.random.PRNGKey(0))
+            by_module = {
+                k: int(sum(int(np.prod(l.shape))
+                           for l in jax.tree.leaves(v)))
+                for k, v in sorted(params.items())}
+            total = sum(by_module.values())
+            mom_bytes = 2 if cfg.opt_state_dtype == 'bfloat16' else 4
+            img_bytes = int(np.prod(cfg.image_shape))
+            print(json.dumps({
+                'config': cfg.name, 'model_family': cfg.model_family,
+                'arch': cfg.arch, 'dataset': cfg.dataset,
+                'image_shape': list(cfg.image_shape),
+                'K': cfg.n_components, 'latent_dim': cfg.latent_dim,
+                'likelihood': cfg.likelihood, 'batch_size': cfg.batch_size,
+                'steps': cfg.steps,
+                'params_total': total, 'params_by_module': by_module,
+                'param_bytes_f32': total * 4,
+                'adam_moment_bytes': total * 2 * mom_bytes,
+                'opt_state_dtype': cfg.opt_state_dtype,
+                'batch_staging_bytes_per_chunk':
+                    cfg.scan_steps * cfg.batch_size * img_bytes,
+                'fused_head': bool(cfg.fused
+                                   and cfg.model_family == 'gmvae'),
+                'data_placement': cfg.data_placement,
+                'data_sharding': cfg.data_sharding,
+            }))
+        elif args.verb == 'train':
             _, state, history = api.train(cfg, resume=args.resume,
                                           save_grids=args.grids)
             if history:

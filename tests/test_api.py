@@ -326,3 +326,25 @@ def test_cli_assign_verb(tmp_path, capsys):
                        '--out', out2]) == 0
     row2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert row2['n'] == 16 and row2['out'] == out2
+
+
+def test_cli_describe_verb(capsys):
+    """`describe` summarizes a config (family, param counts, memory
+    envelopes) without touching data, checkpoints, or training."""
+    import json
+
+    from gmvae_tpu import cli
+
+    assert cli.main(['describe', '--config', 'synthetic_tiny']) == 0
+    d = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert d['config'] == 'synthetic_tiny' and d['model_family'] == 'gmvae'
+    assert d['params_total'] == sum(d['params_by_module'].values()) > 0
+    assert set(d['params_by_module']) >= {'encoder', 'decoder', 'k_head'}
+    assert d['param_bytes_f32'] == d['params_total'] * 4
+
+    assert cli.main(['describe', '--config', 'synthetic_tiny', '--set',
+                     'model_family=deep', '--set', 'w_dim=4',
+                     '--set', 'prior_hidden=16']) == 0
+    d = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert d['model_family'] == 'deep' and not d['fused_head']
+    assert 'w_mean_head' in d['params_by_module']
