@@ -25,14 +25,10 @@ from gmvae_tpu.models import nets
 
 def conv_only_rate(name: str, steps: int = 2000, inner: int = 100) -> dict:
     cfg = configs.get_config(name)
-    dtype = jnp.dtype(cfg.compute_dtype)
-    mult = 2 if cfg.likelihood == 'gaussian' else 1
-    enc = nets.ENCODERS[cfg.arch](features=cfg.enc_hidden,
-                                  compute_dtype=dtype)
-    dec = nets.DECODERS[cfg.arch](features=cfg.dec_hidden,
-                                  image_shape=cfg.image_shape,
-                                  out_channels_mult=mult,
-                                  compute_dtype=dtype)
+    # the same arch dispatch every model variant uses (mlp takes hidden=,
+    # conv/resnet take features= — nets.make_* owns that difference)
+    enc = nets.make_encoder(cfg)
+    dec = nets.make_decoder(cfg)
     b = cfg.batch_size
     x = jax.random.uniform(jax.random.PRNGKey(1), (b, *cfg.image_shape))
     z0 = jnp.zeros((b, cfg.latent_dim), jnp.float32)
