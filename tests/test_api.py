@@ -348,3 +348,31 @@ def test_cli_describe_verb(capsys):
     d = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert d['model_family'] == 'deep' and not d['fused_head']
     assert 'w_mean_head' in d['params_by_module']
+
+
+def test_cli_export_verb(tmp_path, capsys):
+    """CLI export: restores the latest checkpoint, writes the artifact +
+    metadata sidecar, and the artifact reproduces the live assignments."""
+    import json
+
+    from jax import export as jexport
+
+    from gmvae_tpu import cli
+
+    cfg_args = ['--config', 'synthetic_tiny',
+                '--set', f'run_dir={tmp_path}', '--set', 'steps=40',
+                '--set', 'eval_every=40', '--set', 'scan_steps=20',
+                '--set', 'ckpt_every=40']
+    assert cli.main(['train'] + cfg_args) == 0
+    out = os.path.join(tmp_path, 'a.jaxexport')
+    assert cli.main(['export'] + cfg_args + ['--verb', 'assign',
+                                             '--out', out]) == 0
+    row = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert row['out'] == out and row['bytes'] == os.path.getsize(out)
+    meta = json.load(open(out + '.json'))
+    assert meta['trained_step'] == 40 and meta['verb'] == 'assign'
+
+    fn = jexport.deserialize(open(out, 'rb').read())
+    x = np.zeros((5, 8, 8, 1), np.float32)
+    ids = np.asarray(fn.call(x))
+    assert ids.shape == (5,) and ids.dtype == np.int32

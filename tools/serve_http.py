@@ -29,9 +29,15 @@ from __future__ import annotations
 import argparse
 import io
 import json
+import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
+
+# ThreadingHTTPServer handles each request on its own thread; device
+# execution is serialized through one lock so concurrent requests queue
+# instead of interleaving runtime calls
+_CALL_LOCK = threading.Lock()
 
 
 def make_handler(exported, put_fn):
@@ -57,10 +63,13 @@ def make_handler(exported, put_fn):
                 n = int(self.headers['Content-Length'])
                 x = np.load(io.BytesIO(self.rfile.read(n)),
                             allow_pickle=False)
-                out = exported.call(put_fn(np.asarray(x, np.float32)))
-                leaves = out if isinstance(out, (tuple, list)) else (out,)
+                with _CALL_LOCK:
+                    out = exported.call(put_fn(np.asarray(x, np.float32)))
+                    leaves = (out if isinstance(out, (tuple, list))
+                              else (out,))
+                    leaves = [np.asarray(leaf) for leaf in leaves]
                 buf = io.BytesIO()
-                np.savez(buf, **{f'out{i}': np.asarray(leaf)
+                np.savez(buf, **{f'out{i}': leaf
                                  for i, leaf in enumerate(leaves)})
                 body = buf.getvalue()
                 self.send_response(200)
