@@ -29,7 +29,7 @@ def run_bench(cfg=None, steps: int = 2000, scan_steps: int = 100,
 
     # dataset: real MNIST when cached, else the deterministic synthetic
     # stand-in of identical shape — identical compute either way
-    ds = data_lib.load(cfg.dataset)
+    ds = data_lib.load(cfg.dataset, image_shape=cfg.image_shape)
     trainer = train_lib.Trainer(cfg, ds)
     state = trainer.init_state()
 

@@ -165,6 +165,7 @@ def main(argv=None) -> int:
         if args.verb == 'describe':
             import numpy as np
             from gmvae_tpu.models.gmvae import init_params
+            from gmvae_tpu.ops.elbo import mixture_elbo_head
             model = train_lib.make_model(cfg)
             params = init_params(model, jax.random.PRNGKey(0))
             by_module = {
@@ -187,8 +188,10 @@ def main(argv=None) -> int:
                 'opt_state_dtype': cfg.opt_state_dtype,
                 'batch_staging_bytes_per_chunk':
                     cfg.scan_steps * cfg.batch_size * img_bytes,
-                'fused_head': bool(cfg.fused
-                                   and cfg.model_family == 'gmvae'),
+                # what make_model ACTUALLY built (cfg.fused alone would
+                # claim the Pallas head on hosts where it isn't supported)
+                'fused_head': (getattr(model, 'head_fn', mixture_elbo_head)
+                               is not mixture_elbo_head),
                 'data_placement': cfg.data_placement,
                 'data_sharding': cfg.data_sharding,
             }))
@@ -199,7 +202,17 @@ def main(argv=None) -> int:
                 print(json.dumps(history[-1]))
         elif args.verb in ('eval', 'sample', 'reconstruct', 'latent',
                            'assign', 'export'):
-            trainer = train_lib.Trainer(cfg)
+            if args.verb == 'export':
+                # export touches only model/mesh/params — a stub dataset
+                # skips loading (and device-replicating) the training set,
+                # which matters on small CPU build hosts cross-lowering
+                # TPU artifacts for a celeba-scale config
+                from gmvae_tpu import data as data_lib
+                trainer = train_lib.Trainer(
+                    cfg, data_lib.make_synthetic(
+                        image_shape=cfg.image_shape, n_train=8, n_test=8))
+            else:
+                trainer = train_lib.Trainer(cfg)
             state = trainer.init_state()
             run_dir = os.path.join(cfg.run_dir, cfg.name)
             path = getattr(args, 'ckpt', None) or ckpt_lib.latest_ckpt(run_dir)

@@ -171,6 +171,10 @@ def export_verb(trainer, state, verb: str,
         exported = jexport.export(jitted, platforms=plats)(x_spec)
     blob = bytes(exported.serialize())
     if path:
+        import os
+        d = os.path.dirname(path)
+        if d:
+            os.makedirs(d, exist_ok=True)
         with open(path, 'wb') as f:
             f.write(blob)
         # metadata sidecar: a fleet operator can identify an artifact

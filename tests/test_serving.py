@@ -160,7 +160,9 @@ def test_http_server_roundtrip(trained, tmp_path):
     import urllib.request
     import urllib.error
 
-    sys.path.insert(0, 'tools')
+    tools_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             '..', 'tools')
+    sys.path.insert(0, tools_dir)
     try:
         import serve_http
     finally:

@@ -44,7 +44,7 @@ def measure(name: str, steps: int, n_eval: int, kw: dict) -> dict:
         steps=steps, eval_every=10**9, ckpt_every=0)
     if cfg.scan_steps < 50:
         cfg = cfg.replace(scan_steps=50)
-    ds = data_lib.load(cfg.dataset)
+    ds = data_lib.load(cfg.dataset, image_shape=cfg.image_shape)
     t0 = time.perf_counter()
     trainer = train_lib.Trainer(cfg, ds)
     state = trainer.init_state()

@@ -46,7 +46,7 @@ def analyze(name: str, measure: bool, steps: int = 2000) -> dict:
                                                  ckpt_every=0)
     if cfg.scan_steps < 50:
         cfg = cfg.replace(scan_steps=50)
-    ds = data_lib.load(cfg.dataset)
+    ds = data_lib.load(cfg.dataset, image_shape=cfg.image_shape)
     trainer = train_lib.Trainer(cfg, ds)
     state = trainer.init_state()
     idx = trainer.batch_plan(cfg.scan_steps)

@@ -60,11 +60,20 @@ def make_handler(exported, put_fn):
                 self.send_error(404)
                 return
             try:
+                # input parsing: failures here are the CLIENT's (400)
                 n = int(self.headers['Content-Length'])
-                x = np.load(io.BytesIO(self.rfile.read(n)),
-                            allow_pickle=False)
+                x = np.asarray(
+                    np.load(io.BytesIO(self.rfile.read(n)),
+                            allow_pickle=False), np.float32)
+            except Exception as e:
+                self._send_json_error(400, e)
+                return
+            try:
+                # execution: failures here are the SERVER's (500 —
+                # platform mismatch, device errors; 4xx would point
+                # retry/debug logic at innocent clients)
                 with _CALL_LOCK:
-                    out = exported.call(put_fn(np.asarray(x, np.float32)))
+                    out = exported.call(put_fn(x))
                     leaves = (out if isinstance(out, (tuple, list))
                               else (out,))
                     leaves = [np.asarray(leaf) for leaf in leaves]
@@ -77,14 +86,17 @@ def make_handler(exported, put_fn):
                 self.send_header('Content-Length', str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
-            except Exception as e:  # surface the error to the client
-                msg = json.dumps({'error': f'{type(e).__name__}: {e}'})
-                body = msg.encode()
-                self.send_response(400)
-                self.send_header('Content-Type', 'application/json')
-                self.send_header('Content-Length', str(len(body)))
-                self.end_headers()
-                self.wfile.write(body)
+            except Exception as e:
+                self._send_json_error(500, e)
+
+        def _send_json_error(self, code: int, exc: Exception):
+            body = json.dumps(
+                {'error': f'{type(exc).__name__}: {exc}'}).encode()
+            self.send_response(code)
+            self.send_header('Content-Type', 'application/json')
+            self.send_header('Content-Length', str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
 
     return Handler
 
