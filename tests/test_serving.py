@@ -149,6 +149,17 @@ def test_data_parallel_artifact(tmp_path_factory):
     with pytest.raises(ValueError, match='divide'):
         serving.export_verb(trainer, state, 'assign', dp_batch=63)
 
+    # the options compose: a data-parallel AND int8-quantized artifact
+    qdp = serving.export_verb(trainer, state, 'probs', dp_batch=64,
+                              quantize='int8')
+    assert jexport.deserialize(qdp).nr_devices == n
+    p = np.asarray(serving.load_and_call(qdp,
+                                         xs.astype(np.float32) / 255.0))
+    p_live = np.asarray(serving.load_and_call(
+        serving.export_verb(trainer, state, 'probs', dp_batch=64),
+        xs.astype(np.float32) / 255.0))
+    np.testing.assert_allclose(p, p_live, atol=0.05)
+
 
 def test_http_server_roundtrip(trained, tmp_path):
     """tools/serve_http.py serves an artifact over HTTP: npy in, npz out,

@@ -47,6 +47,11 @@ def main() -> None:
     ap.add_argument('--config', default='celeba_dp16')
     ap.add_argument('--devices', type=int, default=16)
     ap.add_argument('--steps', type=int, default=2)
+    ap.add_argument('--placement', default=None,
+                    choices=('device', 'host_stream'),
+                    help="override data_placement (host_stream forces "
+                         "data_sharding='replicated' and drives the "
+                         'staged-batch path over the virtual mesh)')
     args = ap.parse_args()
     _bootstrap(args.devices)
 
@@ -64,18 +69,26 @@ def main() -> None:
     cfg = cfg.replace(batch_size=2 * n, scan_steps=args.steps,
                       steps=args.steps, eval_every=10**9, ckpt_every=0,
                       dp_devices=n, eval_samples=1)
+    if args.placement:
+        cfg = cfg.replace(data_placement=args.placement)
+        if args.placement == 'host_stream':
+            cfg = cfg.replace(data_sharding='replicated')
     ds = data_lib.make_synthetic(image_shape=cfg.image_shape,
                                  n_clusters=min(40, cfg.n_components),
                                  n_train=8 * n, n_test=2 * n, seed=0)
     trainer = train_lib.Trainer(cfg, ds)
     assert trainer.n_dp == n, (trainer.n_dp, n)
     state = trainer.init_state()
-    state, m = trainer.run_chunk(state, trainer.batch_plan(args.steps))
+    payload = (trainer.stage_batches(trainer.batch_plan_host(args.steps))
+               if trainer.x_all is None
+               else trainer.batch_plan(args.steps))
+    state, m = trainer.run_chunk(state, payload)
     elbo = float(np.asarray(m['elbo'][-1]))
     ev = trainer.evaluate(state, max_examples=2 * n)
     ok = bool(np.isfinite(elbo) and np.isfinite(ev['elbo_nats']))
     print(json.dumps({
         'config': args.config, 'devices': n,
+        'data_placement': cfg.data_placement,
         'data_sharding': cfg.data_sharding,
         'grad_clip_impl': cfg.grad_clip_impl,
         'train_elbo': round(elbo, 4),
