@@ -304,7 +304,13 @@ def main(argv=None) -> int:
                 print(out)
         elif args.verb == 'bench':
             from gmvae_tpu.benchmark import run_bench
-            print(json.dumps(run_bench(cfg, steps=args.steps)))
+            # --set scan_steps/steps must win over the harness defaults
+            # (run_bench otherwise replaces both with its own parameters)
+            ov = configs.parse_overrides(args.set)
+            kw = {'steps': ov.get('steps', args.steps)}
+            if 'scan_steps' in ov:
+                kw['scan_steps'] = ov['scan_steps']
+            print(json.dumps(run_bench(cfg, **kw)))
     finally:
         if profile_cm is not None:
             profile_cm.__exit__(None, None, None)

@@ -128,7 +128,10 @@ def export_verb(trainer, state, verb: str,
         serves batches of exactly ``dp_batch`` images split over the
         slice's chips. Sharding constraints need concrete dims, so DP
         artifacts are fixed-batch (pad the last server batch).
-        ``dp_batch`` must divide by the mesh's data-axis size.
+        ``dp_batch`` must divide by the mesh's data-axis size. Scope:
+        single-controller serving (one process driving N local chips);
+        multi-HOST serving would need every process to call the same
+        artifact with its global-array slice — not packaged here.
       quantize: ``'int8'`` stores the weight matrices as int8 codes with
         per-output-channel scales (dequantized on device per call) —
         ~4x smaller artifact with weight-rounding-only error. Default

@@ -358,7 +358,12 @@ def pad_to_multiple(x: np.ndarray, multiple: int) -> Tuple[np.ndarray, int]:
     n = x.shape[0]
     rem = (-n) % multiple
     if rem:
-        x = np.concatenate([x, x[:rem]], axis=0)
+        # tile x as many times as the padding needs — a single x[:rem]
+        # slice falls short whenever multiple > 2n (e.g. a 10-example
+        # eval set padded to a 64-example batch)
+        reps = -(-rem // n)
+        pad = np.concatenate([x] * reps, axis=0)[:rem]
+        x = np.concatenate([x, pad], axis=0)
     return x, n
 
 
@@ -657,7 +662,9 @@ def fit(cfg: Config, dataset: Optional[data_lib.Dataset] = None,
         imgs_since += s * cfg.batch_size
         step_now += s
 
-        if step_now % cfg.eval_every < s or step_now >= total:
+        # eval_every=0 disables the cadence (symmetric with ckpt_every=0)
+        if cfg.eval_every and (step_now % cfg.eval_every < s
+                               or step_now >= total):
             # device->host fetch as a real fence (block_until_ready does not
             # synchronize on the axon remote platform)
             int(jax.device_get(state.step))

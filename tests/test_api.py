@@ -376,3 +376,21 @@ def test_cli_export_verb(tmp_path, capsys):
     x = np.zeros((5, 8, 8, 1), np.float32)
     ids = np.asarray(fn.call(x))
     assert ids.shape == (5,) and ids.dtype == np.int32
+
+
+def test_cli_bench_forwards_set_overrides(monkeypatch, capsys):
+    """--set scan_steps/steps reach run_bench instead of being replaced
+    by the harness defaults."""
+    from gmvae_tpu import benchmark, cli
+
+    seen = {}
+
+    def fake(cfg, **kw):
+        seen.update(kw)
+        seen['cfg_scan'] = cfg.scan_steps
+        return {'metric': 'm', 'value': 1.0, 'unit': 'u'}
+
+    monkeypatch.setattr(benchmark, 'run_bench', fake)
+    assert cli.main(['bench', '--config', 'synthetic_tiny',
+                     '--set', 'scan_steps=7', '--set', 'steps=21']) == 0
+    assert seen['scan_steps'] == 7 and seen['steps'] == 21

@@ -210,6 +210,18 @@ def test_http_server_roundtrip(trained, tmp_path):
         except urllib.error.HTTPError as e:
             assert e.code == 400
             assert 'error' in json.loads(e.read())
+
+        # well-formed npy of the WRONG shape is also the client's fault
+        bad = io.BytesIO()
+        np.save(bad, np.zeros((4, 3, 3, 9), np.float32))
+        try:
+            urllib.request.urlopen(
+                urllib.request.Request(url + '/predict',
+                                       data=bad.getvalue()), timeout=30)
+            raise AssertionError('expected HTTP 400')
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert 'artifact spec' in json.loads(e.read())['error']
     finally:
         srv.shutdown()
         srv.server_close()

@@ -227,3 +227,36 @@ def test_resume_migrates_opt_state_dtype(tmp_path):
     assert int(state3.step) == 120
     for leaf in jax.tree.leaves(state3.opt_state):
         assert getattr(leaf, 'dtype', None) != jnp.bfloat16
+
+
+def test_pad_to_multiple_pads_past_double():
+    """multiple > 2n requires tiling, not a single x[:rem] slice."""
+    x = np.arange(10 * 3, dtype=np.float32).reshape(10, 3)
+    padded, n = train_lib.pad_to_multiple(x, 64)
+    assert n == 10 and padded.shape == (64, 3)
+    np.testing.assert_array_equal(padded[:10], x)
+    np.testing.assert_array_equal(padded[10:20], x)  # tiled copies
+
+    same, n2 = train_lib.pad_to_multiple(x, 5)
+    assert n2 == 10 and same.shape == (10, 3)
+
+
+def test_evaluate_with_test_set_smaller_than_half_batch(tmp_path):
+    """An eval set smaller than half the eval batch must still pad to the
+    full batch (a device-count-divisible global array)."""
+    cfg = configs.synthetic_tiny(steps=20, eval_every=10**9, ckpt_every=0,
+                                 run_dir=str(tmp_path))
+    trainer = train_lib.Trainer(cfg)
+    state = trainer.init_state()
+    out = trainer.evaluate(state, max_examples=10)  # batch_size is 64
+    assert np.isfinite(out['elbo_nats'])
+
+
+def test_fit_with_eval_disabled(tmp_path):
+    """eval_every=0 disables the eval cadence (symmetric with
+    ckpt_every=0) instead of dividing by zero."""
+    cfg = configs.synthetic_tiny(steps=40, eval_every=0, ckpt_every=0,
+                                 scan_steps=20, run_dir=str(tmp_path))
+    _, state, history = train_lib.fit(cfg)
+    assert int(state.step) == 40
+    assert history == []

@@ -60,11 +60,21 @@ def make_handler(exported, put_fn):
                 self.send_error(404)
                 return
             try:
-                # input parsing: failures here are the CLIENT's (400)
+                # input parsing + shape validation: failures here are the
+                # CLIENT's (400)
                 n = int(self.headers['Content-Length'])
                 x = np.asarray(
                     np.load(io.BytesIO(self.rfile.read(n)),
                             allow_pickle=False), np.float32)
+                want = exported.in_avals[0].shape
+                ok = len(want) == x.ndim and all(
+                    not isinstance(w, int) or w == g
+                    for w, g in zip(want, x.shape))
+                if not ok:
+                    raise ValueError(
+                        f'input shape {x.shape} does not match the '
+                        f'artifact spec {tuple(want)} (symbolic dims '
+                        f'accept any size)')
             except Exception as e:
                 self._send_json_error(400, e)
                 return
