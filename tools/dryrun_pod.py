@@ -24,12 +24,19 @@ import sys
 
 
 def _bootstrap(n_devices: int) -> bool:
-    import jax
-    if jax.default_backend() == 'cpu' and len(jax.devices()) >= n_devices:
-        return False
+    # decide from the environment BEFORE touching jax: with the axon
+    # remote-TPU pool var set, merely initializing the backend opens the
+    # tunnel — and hangs indefinitely when the tunnel is down (observed).
+    # The re-exec'd child runs with a clean CPU env either way.
+    axon = bool(os.environ.get('PALLAS_AXON_POOL_IPS'))
+    if not axon:
+        import jax
+        if (jax.default_backend() == 'cpu'
+                and len(jax.devices()) >= n_devices):
+            return False
     if os.environ.get('_GMVAE_PODDRY_INNER'):
-        raise RuntimeError(f'bootstrapped subprocess still sees '
-                           f'{jax.devices()}')
+        raise RuntimeError('bootstrapped subprocess still lacks an '
+                           f'{n_devices}-device CPU backend')
     env = dict(os.environ)
     env.pop('PALLAS_AXON_POOL_IPS', None)
     env['JAX_PLATFORMS'] = 'cpu'
