@@ -40,6 +40,12 @@ def _ensure_nhwc(x: np.ndarray, shape) -> np.ndarray:
     if x.ndim == 3:
         x = x[..., None]
     assert x.shape[1:] == tuple(shape), (x.shape, shape)
+    if np.issubdtype(x.dtype, np.floating):
+        # float exports come in [0,1] (normalized) or [0,255]; a blind
+        # uint8 cast would truncate the former to all-zeros and train on
+        # black images without any error
+        scale = 255.0 if float(x.max(initial=0.0)) <= 1.0 + 1e-6 else 1.0
+        x = np.clip(np.rint(x * scale), 0, 255)
     return x.astype(np.uint8)
 
 
@@ -320,7 +326,17 @@ def _from_celeba_dir(data_dir: str) -> Optional[Dataset]:
                             test_x=ds.test_x, test_y=ds.test_y)
         os.replace(tmp, final)
     except OSError:
-        pass  # cache is best-effort (read-only data_dir is fine)
+        # single-process: cache is best-effort (read-only data_dir is
+        # fine). Multi-process: siblings BLOCK on this file appearing
+        # (_wait_for_sibling_npz) — failing fast here beats every other
+        # process timing out after 30 idle minutes.
+        import jax
+        if jax.process_count() > 1:
+            raise OSError(
+                f'process 0 could not write the celeba cache in '
+                f'{data_dir!r}, which the other {jax.process_count() - 1} '
+                f'processes are waiting on — make data_dir writable or '
+                f'pre-build the cache with tools/fetch_datasets.py')
     return ds
 
 

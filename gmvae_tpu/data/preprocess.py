@@ -59,6 +59,11 @@ def epoch_batch_indices(key: jax.Array, n_data: int, batch_size: int,
     final window slice uses a dynamic start so one executable serves every
     window of a run.
     """
+    if batch_size > n_data:
+        raise ValueError(
+            f'batch_size {batch_size} exceeds the dataset ({n_data} '
+            f'examples) — drop-last epoch batching cannot form one batch '
+            f'(with sharded data this is the PER-SHARD partition size)')
     steps_per_epoch = max(1, n_data // batch_size)
     e0 = start_step // steps_per_epoch
     n_ep = -(-n_steps // steps_per_epoch) + 1  # cdiv + 1: any alignment

@@ -159,6 +159,12 @@ class GMVAE(nn.Module):
         if component is None:
             ks = jax.random.categorical(key_k, prior.pi_logits, shape=(n,))
         else:
+            k = self.cfg.n_components
+            if not 0 <= int(component) < k:
+                # jnp's clamped gather would otherwise silently sample
+                # component k-1 for any out-of-range request
+                raise ValueError(f'component must be in [0, {k}), '
+                                 f'got {component}')
             ks = jnp.full((n,), component, jnp.int32)
         mean = prior.means[ks]
         logvar = prior.logvars[ks]

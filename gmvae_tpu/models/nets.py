@@ -197,4 +197,14 @@ def make_decoder(cfg) -> nn.Module:
                   compute_dtype=dtype)
     if cfg.arch == 'mlp':
         return cls(hidden=cfg.dec_hidden, **common)
+    # stride-2 upsampling stages must reconstruct the exact resolution;
+    # floor division would silently emit a smaller image and crash the
+    # likelihood with an opaque broadcast error deep inside jit
+    factor = 2 ** len(cfg.dec_hidden)
+    h, w = cfg.image_shape[0], cfg.image_shape[1]
+    if h % factor or w % factor:
+        raise ValueError(
+            f"arch={cfg.arch!r} upsamples 2x per stage: image_shape "
+            f'({h}x{w}) must divide by 2^{len(cfg.dec_hidden)}={factor} '
+            f'(use fewer dec_hidden stages or an mlp arch)')
     return cls(features=cfg.dec_hidden, **common)

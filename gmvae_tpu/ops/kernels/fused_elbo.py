@@ -591,6 +591,13 @@ def fused_mixture_elbo(key: jax.Array,
     ``noise_mode``: 'threefry' (on-chip threefry-2x32, default on TPU),
     'xla' (threefry noise streamed in, bit-equal to the golden path,
     default off-TPU).
+
+    Differentiability note: ``tau`` is treated as NON-differentiable —
+    the custom_vjp returns a zero cotangent for it (training feeds tau
+    from a step schedule, never differentiates it). Research that
+    optimizes a learned temperature by gradient must use the unfused
+    golden head (``fused=False``), whose jnp path carries the true
+    d/dtau.
     """
     if noise_mode is None:
         noise_mode = 'threefry' if jax.default_backend() == 'tpu' else 'xla'

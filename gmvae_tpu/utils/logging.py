@@ -55,6 +55,9 @@ def save_latent_plot(path: str, z: np.ndarray, labels: Optional[np.ndarray]
     except ImportError:
         return False
     z = np.asarray(z, np.float64)
+    if z.shape[1] == 1:
+        # 1-D latent: plot value vs a zero axis (z[:, 1] would IndexError)
+        z = np.concatenate([z, np.zeros_like(z)], axis=1)
     projected = z.shape[1] > 2
     if projected:
         zc = z - z.mean(0)

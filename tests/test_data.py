@@ -4,6 +4,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gmvae_tpu import data as data_lib
 
@@ -413,3 +414,27 @@ print('KERAS_OK')
                         + out[-500:])
         assert proc.returncode == 0, out[-2000:]
         assert 'KERAS_OK' in out
+
+
+def test_batch_larger_than_dataset_rejected():
+    with pytest.raises(ValueError, match='exceeds the dataset'):
+        data_lib.epoch_batch_indices(jax.random.PRNGKey(0), n_data=100,
+                                     batch_size=256, n_steps=4)
+
+
+def test_float_npz_images_are_rescaled(tmp_path):
+    """A user npz with float [0,1] images must not truncate to black."""
+    rng = np.random.RandomState(0)
+    xf = rng.rand(32, 28, 28, 1).astype(np.float32)      # [0,1] floats
+    y = rng.randint(0, 10, 32).astype(np.int32)
+    np.savez(tmp_path / 'mnist.npz', train_x=xf, train_y=y,
+             test_x=xf[:8], test_y=y[:8])
+    ds = data_lib.load('mnist', data_dir=str(tmp_path))
+    assert ds.train_x.dtype == np.uint8
+    # values survived: mean of uint8/255 tracks the float mean
+    assert abs(ds.train_x.mean() / 255.0 - xf.mean()) < 0.01
+    # and a [0,255] float export passes through unscaled
+    np.savez(tmp_path / 'mnist.npz', train_x=xf * 255.0, train_y=y,
+             test_x=xf[:8] * 255.0, test_y=y[:8])
+    ds2 = data_lib.load('mnist', data_dir=str(tmp_path))
+    np.testing.assert_array_equal(ds.train_x, ds2.train_x)

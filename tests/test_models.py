@@ -8,6 +8,7 @@ import numpy as np
 import pytest
 
 from gmvae_tpu import configs
+from gmvae_tpu.models import nets
 from gmvae_tpu.models.gmvae import GMVAE, init_params, param_count
 
 
@@ -140,3 +141,19 @@ def test_checked_elbo_catches_poisoned_params():
                               jnp.float32(0.7))
     assert msg is not None            # provenance reported, not a bare NaN
     assert not all(flags.values())
+
+
+def test_conv_decoder_rejects_indivisible_resolution():
+    cfg = configs.synthetic_tiny(arch='conv', image_shape=(28, 28, 1),
+                                 dec_hidden=(16, 16, 16))
+    with pytest.raises(ValueError, match='divide'):
+        nets.make_decoder(cfg)
+
+
+def test_sample_component_out_of_range_rejected():
+    cfg = configs.synthetic_tiny()
+    model = GMVAE(cfg)
+    params = init_params(model, jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match='component'):
+        model.apply({'params': params}, jax.random.PRNGKey(1), 4,
+                    cfg.n_components, method=model.sample)
