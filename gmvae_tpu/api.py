@@ -21,6 +21,17 @@ from gmvae_tpu.parallel import mesh as mesh_lib
 from gmvae_tpu.utils import metrics as metrics_lib
 
 
+def _jitted(trainer: train_lib.Trainer, name: str, make):
+    """Per-trainer cache of a verb's jitted fn: jit caches key on the
+    wrapper object, so defining the closure inside each call would
+    re-trace (and re-compile — minutes on the remote-compile platform)
+    on EVERY invocation; caching on the trainer makes repeat calls free."""
+    cache = trainer.__dict__.setdefault('_api_jit_cache', {})
+    if name not in cache:
+        cache[name] = make()
+    return cache[name]
+
+
 def _put(trainer: train_lib.Trainer, host_array):
     """Replicate a host array onto the trainer's full mesh. Multi-host, a
     plain ``jnp.asarray`` would be a process-local array that cannot feed a
@@ -73,11 +84,14 @@ def sample(trainer: train_lib.Trainer, state: train_lib.TrainState,
     space."""
     model = trainer.model
 
-    @functools.partial(jax.jit, static_argnums=(2, 3))
-    def go(params, key, n, component):
-        return model.apply({'params': params}, key, n, component,
-                           method=model.sample)
+    def make():
+        @functools.partial(jax.jit, static_argnums=(2, 3))
+        def go(params, key, n, component):
+            return model.apply({'params': params}, key, n, component,
+                               method=model.sample)
+        return go
 
+    go = _jitted(trainer, 'sample', make)
     key = jax.device_put(jax.random.PRNGKey(seed),
                          mesh_lib.replicated(trainer.mesh))
     out = go(state.params, key, n, component)
@@ -91,11 +105,9 @@ def reconstruct(trainer: train_lib.Trainer, state: train_lib.TrainState,
     ``x`` is uint8 [N,H,W,C] (raw) or float in [0,1]; returns float images.
     """
     model = trainer.model
-
-    @jax.jit
-    def go(params, xb):
-        return model.apply({'params': params}, xb, method=model.reconstruct)
-
+    go = _jitted(trainer, 'reconstruct', lambda: jax.jit(
+        lambda params, xb: model.apply({'params': params}, xb,
+                                       method=model.reconstruct)))
     x = np.asarray(x)
     xf = x.astype(np.float32) / 255.0 if x.dtype == np.uint8 else x
     return np.asarray(go(state.params, _put(trainer, xf)))
@@ -105,13 +117,10 @@ def cluster_assign(trainer: train_lib.Trainer, state: train_lib.TrainState,
                    x: np.ndarray, batch_size: int = 1024) -> np.ndarray:
     """argmax_k q(k|x) cluster ids for a batch of images (SURVEY.md §3.4)."""
     model = trainer.model
-
-    @jax.jit
-    def go(params, xb):
-        return jnp.argmax(
-            model.apply({'params': params}, xb, method=model.cluster_logits),
-            axis=-1)
-
+    go = _jitted(trainer, 'cluster_assign', lambda: jax.jit(
+        lambda params, xb: jnp.argmax(
+            model.apply({'params': params}, xb,
+                        method=model.cluster_logits), axis=-1)))
     x = np.asarray(x)
     xf = x.astype(np.float32) / 255.0 if x.dtype == np.uint8 else x
     outs = [np.asarray(go(state.params, _put(trainer, xf[i:i + batch_size])))
@@ -126,11 +135,9 @@ def latent_embed(trainer: train_lib.Trainer, state: train_lib.TrainState,
     The quantity behind the reference's latent-space plots; pair with
     ``utils.logging.save_latent_plot`` for the qualitative output."""
     model = trainer.model
-
-    @jax.jit
-    def go(params, xb):
-        return model.apply({'params': params}, xb, method=model.latent)
-
+    go = _jitted(trainer, 'latent_embed', lambda: jax.jit(
+        lambda params, xb: model.apply({'params': params}, xb,
+                                       method=model.latent)))
     x = np.asarray(x)
     xf = x.astype(np.float32) / 255.0 if x.dtype == np.uint8 else x
     zs, qs = [], []
@@ -138,6 +145,9 @@ def latent_embed(trainer: train_lib.Trainer, state: train_lib.TrainState,
         z, q = go(state.params, _put(trainer, xf[i:i + batch_size]))
         zs.append(np.asarray(z))
         qs.append(np.asarray(q))
+    if not zs:
+        return (np.zeros((0, trainer.cfg.latent_dim), np.float32),
+                np.zeros((0, trainer.cfg.n_components), np.float32))
     return np.concatenate(zs), np.concatenate(qs)
 
 

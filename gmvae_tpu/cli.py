@@ -253,27 +253,36 @@ def main(argv=None) -> int:
                         xs = z[key]
                 else:
                     xs = trainer.dataset.test_x
-                ids = api.cluster_assign(trainer, state, xs,
-                                         batch_size=args.batch)
+                # ids are argmax of the probs latent_embed already
+                # returns — one device sweep, not two
                 zlat, probs = api.latent_embed(trainer, state, xs,
                                                batch_size=args.batch)
+                ids = probs.argmax(-1).astype(np.int32)
                 out = args.out or os.path.join(run_dir, 'assignments.npz')
-                os.makedirs(os.path.dirname(os.path.abspath(out)),
-                            exist_ok=True)
-                np.savez(out, ids=ids.astype(np.int32),
-                         probs=probs.astype(np.float32),
-                         z=zlat.astype(np.float32))
-                counts = np.bincount(ids,
-                                     minlength=cfg.n_components).tolist()
-                print(json.dumps({'n': int(len(ids)), 'out': out,
-                                  'cluster_counts': counts}))
+                # multi-host: every process computed (global arrays);
+                # only process 0 writes the shared-path output
+                if jax.process_index() == 0:
+                    os.makedirs(os.path.dirname(os.path.abspath(out)),
+                                exist_ok=True)
+                    np.savez(out, ids=ids,
+                             probs=probs.astype(np.float32),
+                             z=zlat.astype(np.float32))
+                    counts = np.bincount(
+                        ids, minlength=cfg.n_components).tolist()
+                    print(json.dumps({'n': int(len(ids)), 'out': out,
+                                      'cluster_counts': counts}))
             elif args.verb == 'latent':
                 from gmvae_tpu.utils.logging import save_latent_plot
+                if args.n <= 0:
+                    print('error: --n must be positive', file=sys.stderr)
+                    return 2
                 n = min(args.n, len(trainer.dataset.test_x))
                 z, _ = api.latent_embed(trainer, state,
                                         trainer.dataset.test_x[:n])
                 out = args.out or os.path.join(run_dir, 'latent_cli.png')
-                if save_latent_plot(out, z, trainer.dataset.test_y[:n]):
+                if jax.process_index() != 0:
+                    pass  # compute ran everywhere; process 0 writes
+                elif save_latent_plot(out, z, trainer.dataset.test_y[:n]):
                     print(out)
                 else:
                     print('error: matplotlib unavailable', file=sys.stderr)
@@ -293,15 +302,20 @@ def main(argv=None) -> int:
                     [np.asarray(orig, np.float32) / 255.0,
                      np.asarray(recon, np.float32)], axis=0)
                 out = args.out or os.path.join(run_dir, 'recon_cli.png')
-                save_image_grid(out, grid, ncol=n)  # row 1 orig, row 2 recon
-                print(out)
+                if jax.process_index() == 0:
+                    save_image_grid(out, grid, ncol=n)  # orig row, recon row
+                    print(out)
             else:
                 from gmvae_tpu.utils.logging import save_image_grid
+                if args.n <= 0:
+                    print('error: --n must be positive', file=sys.stderr)
+                    return 2
                 imgs = api.sample(trainer, state, args.n,
                                   component=args.component)
                 out = args.out or os.path.join(run_dir, 'samples_cli.png')
-                save_image_grid(out, imgs)
-                print(out)
+                if jax.process_index() == 0:
+                    save_image_grid(out, imgs)
+                    print(out)
         elif args.verb == 'bench':
             from gmvae_tpu.benchmark import run_bench
             # --set scan_steps/steps must win over the harness defaults

@@ -295,7 +295,16 @@ def parse_overrides(pairs) -> dict:
             raise KeyError(f'unknown config field {key!r}')
         default = getattr(Config(), key)
         if isinstance(default, bool):
-            out[key] = raw.lower() in ('1', 'true', 'yes')
+            lowered = raw.strip().lower()
+            if lowered in ('1', 'true', 'yes'):
+                out[key] = True
+            elif lowered in ('0', 'false', 'no'):
+                out[key] = False
+            else:
+                # a typo ('ture') must not silently become False
+                raise ValueError(
+                    f'--set {key}={raw!r}: boolean fields accept '
+                    f'1/true/yes or 0/false/no')
         elif isinstance(default, int):
             out[key] = int(raw)
         elif isinstance(default, float):

@@ -30,9 +30,20 @@ def init_distributed() -> None:
 
     No-op on single-host (the common case here). Gated on the coordinator
     env var so single-chip/CI runs never touch the distributed stack.
+
+    Ordering is load-bearing: ``jax.distributed.initialize`` must run
+    BEFORE anything initializes the XLA backend, and ``jax.process_count()``
+    itself initializes the backend — so the already-initialized check must
+    read the distributed-state global, never a device/process query (the
+    previous ``process_count() == 1`` guard made this function raise on
+    every real pod launch).
     """
-    if os.environ.get('JAX_COORDINATOR_ADDRESS') and jax.process_count() == 1:
-        jax.distributed.initialize()
+    if not os.environ.get('JAX_COORDINATOR_ADDRESS'):
+        return
+    from jax._src import distributed as _dist
+    if getattr(_dist.global_state, 'client', None) is not None:
+        return  # launcher (or a test harness) already initialized
+    jax.distributed.initialize()
 
 
 def make_mesh(dp_devices: int = -1, model_devices: int = 1,
@@ -90,7 +101,6 @@ def put_global(mesh: Mesh, spec: P, host_array) -> jax.Array:
     (our datasets and batch plans are deterministic from the config seed, so
     they are identical by construction).
     """
-    import numpy as np  # local: keep module import surface slim
     host_array = np.asarray(host_array)
     sharding = NamedSharding(mesh, spec)
     if jax.process_count() == 1:
@@ -120,7 +130,6 @@ def put_sharded(mesh: Mesh, host_array) -> jax.Array:
     1/process_count. The leading dim must divide by the data-axis size
     (Trainer pads with wraparound).
     """
-    import numpy as np
     host_array = np.asarray(host_array)
     sharding = NamedSharding(mesh, P(DATA_AXIS))
     if jax.process_count() == 1:

@@ -46,10 +46,17 @@ def _list_ckpts(run_dir: str) -> list:
     """``ckpt_*.msgpack`` filenames in step order (oldest first)."""
     if not os.path.isdir(run_dir):
         return []
-    cands = [f for f in os.listdir(run_dir)
+    def step_of(f):
+        # tolerate non-numeric names (a user's ckpt_best.msgpack copy
+        # must not brick resume/eval/prune for the whole run dir)
+        try:
+            return int(f.split('_')[1].split('.')[0])
+        except ValueError:
+            return None
+
+    cands = [(step_of(f), f) for f in os.listdir(run_dir)
              if f.startswith('ckpt_') and f.endswith('.msgpack')]
-    cands.sort(key=lambda f: int(f.split('_')[1].split('.')[0]))
-    return cands
+    return [f for s, f in sorted(c for c in cands if c[0] is not None)]
 
 
 def latest_ckpt(run_dir: str) -> str | None:

@@ -394,3 +394,50 @@ def test_cli_bench_forwards_set_overrides(monkeypatch, capsys):
     assert cli.main(['bench', '--config', 'synthetic_tiny',
                      '--set', 'scan_steps=7', '--set', 'steps=21']) == 0
     assert seen['scan_steps'] == 7 and seen['steps'] == 21
+
+
+def test_bool_override_typo_rejected():
+    from gmvae_tpu import configs as cfg_lib
+    with pytest.raises(ValueError, match='boolean'):
+        cfg_lib.parse_overrides(['fused=ture'])
+    assert cfg_lib.parse_overrides(['fused=0']) == {'fused': False}
+    assert cfg_lib.parse_overrides(['fused=YES']) == {'fused': True}
+
+
+def test_stray_ckpt_name_tolerated(tmp_path):
+    from gmvae_tpu.utils import checkpoint as ckpt_lib
+    (tmp_path / 'ckpt_40.msgpack').write_bytes(b'x')
+    (tmp_path / 'ckpt_best.msgpack').write_bytes(b'x')  # user copy
+    (tmp_path / 'ckpt_100.msgpack').write_bytes(b'x')
+    assert ckpt_lib.latest_ckpt(str(tmp_path)).endswith('ckpt_100.msgpack')
+    ckpt_lib.prune_ckpts(str(tmp_path), keep=1)
+    left = sorted(p.name for p in tmp_path.iterdir())
+    assert left == ['ckpt_100.msgpack', 'ckpt_best.msgpack']
+
+
+def test_latent_embed_empty_input(tmp_path):
+    cfg = configs.synthetic_tiny(run_dir=str(tmp_path))
+    trainer = train_lib.Trainer(cfg)
+    state = trainer.init_state()
+    z, probs = api.latent_embed(trainer, state,
+                                np.zeros((0, 8, 8, 1), np.uint8))
+    assert z.shape == (0, cfg.latent_dim)
+    assert probs.shape == (0, cfg.n_components)
+    ids = api.cluster_assign(trainer, state, np.zeros((0, 8, 8, 1),
+                                                      np.uint8))
+    assert ids.shape == (0,)
+
+
+def test_api_verbs_cache_their_jits(tmp_path):
+    """Repeat api calls on one trainer reuse the compiled fn (jit caches
+    key on the wrapper object, so per-call closures re-compiled)."""
+    cfg = configs.synthetic_tiny(run_dir=str(tmp_path))
+    trainer = train_lib.Trainer(cfg)
+    state = trainer.init_state()
+    api.sample(trainer, state, 4)
+    api.reconstruct(trainer, state, trainer.dataset.test_x[:4])
+    cache = trainer._api_jit_cache
+    fn_before = cache['sample']
+    api.sample(trainer, state, 4)
+    assert cache['sample'] is fn_before
+    assert set(cache) >= {'sample', 'reconstruct'}
