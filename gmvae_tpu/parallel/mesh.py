@@ -43,7 +43,14 @@ def init_distributed() -> None:
     from jax._src import distributed as _dist
     if getattr(_dist.global_state, 'client', None) is not None:
         return  # launcher (or a test harness) already initialized
-    jax.distributed.initialize()
+    # on real TPU pods initialize() auto-detects process count/id from
+    # the TPU cluster metadata; generic launchers (and the 2-process CPU
+    # test) have no detector, so accept the pair explicitly
+    num = os.environ.get('GMVAE_NUM_PROCESSES')
+    pid = os.environ.get('GMVAE_PROCESS_ID')
+    jax.distributed.initialize(
+        num_processes=int(num) if num else None,
+        process_id=int(pid) if pid else None)
 
 
 def make_mesh(dp_devices: int = -1, model_devices: int = 1,

@@ -57,3 +57,34 @@ def test_two_process_dp_train_eval_resume(tmp_path):
         assert 'resume_matches_uninterrupted=True' in out, out[-2000:]
         assert 'fit_params_identical=True' in out, out[-2000:]
         assert 'fit_eval_identical=True' in out, out[-2000:]
+
+
+def test_env_var_pod_bootstrap():
+    """init_distributed itself forms the mesh from the standard JAX pod
+    env vars — the exact path `python -m gmvae_tpu train` takes on a pod
+    (regression: the old guard initialized the backend first and made
+    jax.distributed.initialize() raise on every real launch)."""
+    worker = os.path.join(os.path.dirname(__file__), 'multihost',
+                          'worker_envboot.py')
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    port = _free_port()
+    procs = []
+    for i in range(2):
+        env = dict(os.environ)
+        env.pop('PALLAS_AXON_POOL_IPS', None)
+        env['JAX_PLATFORMS'] = 'cpu'
+        env['XLA_FLAGS'] = '--xla_force_host_platform_device_count=2'
+        env['PYTHONPATH'] = repo_root + os.pathsep + env.get('PYTHONPATH',
+                                                             '')
+        env['JAX_COORDINATOR_ADDRESS'] = f'localhost:{port}'
+        env['GMVAE_NUM_PROCESSES'] = '2'
+        env['GMVAE_PROCESS_ID'] = str(i)
+        procs.append(subprocess.Popen(
+            [sys.executable, worker, str(i)], stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, env=env, text=True))
+    for p in procs:
+        out, _ = p.communicate(timeout=480)
+        assert p.returncode == 0, out[-2000:]
+        assert 'procs=2' in out and 'params_identical=True' in out, \
+            out[-2000:]
+        assert 'elbo_finite=True' in out, out[-2000:]
