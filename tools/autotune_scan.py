@@ -29,8 +29,12 @@ def main() -> None:
     enable_compile_cache()
 
     overrides = configs.parse_overrides(args.set)
+    grid = [int(x) for x in args.grid.split(',') if x.strip()]
+    if not grid or any(s <= 0 for s in grid):
+        raise SystemExit(f'--grid needs positive scan_steps values, '
+                         f'got {args.grid!r}')
     best = None
-    for s in [int(x) for x in args.grid.split(',') if x]:
+    for s in grid:
         cfg = configs.get_config(args.config, **overrides)
         r = run_bench(cfg, steps=max(args.steps, 2 * s), scan_steps=s,
                       warmup_chunks=1)

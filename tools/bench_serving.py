@@ -47,7 +47,13 @@ def main() -> int:
     from jax import export as jexport
 
     cfg = configs.get_config(args.config)
-    trainer = train_lib.Trainer(cfg)
+    # stub dataset: export/serving needs only model/mesh/params, and the
+    # full training set would ride the slow tunnel for nothing (same
+    # pattern as the CLI export verb)
+    from gmvae_tpu import data as data_lib
+    trainer = train_lib.Trainer(
+        cfg, data_lib.make_synthetic(image_shape=cfg.image_shape,
+                                     n_train=8, n_test=8))
     state = trainer.init_state()
     if args.ckpt:
         from gmvae_tpu.utils import checkpoint as ckpt_lib

@@ -25,7 +25,15 @@ import os
 import numpy as np
 
 
+KERAS_NAMES = ('mnist', 'fmnist', 'cifar10')
+
+
 def fetch_keras(name: str, out_dir: str) -> str:
+    if name not in KERAS_NAMES:
+        raise SystemExit(
+            f'--datasets accepts {KERAS_NAMES} (keras-downloadable); '
+            f'{name!r} is not one — SVHN needs --svhn-mat and CelebA '
+            f'needs --celeba-dir (see module docstring)')
     import tensorflow as tf
     mods = {'mnist': tf.keras.datasets.mnist,
             'fmnist': tf.keras.datasets.fashion_mnist,
@@ -53,31 +61,37 @@ def convert_svhn(mat_train: str, mat_test: str, out_dir: str) -> str:
     return path
 
 
-def convert_celeba(img_dir: str, attr_file: str, out_dir: str,
-                   size: int = 64, n_test: int = 10_000) -> str:
-    """Center-crop to 148, resize to ``size``; label = first attribute."""
-    from PIL import Image
-    names = sorted(os.listdir(img_dir))
-    attrs = {}
-    with open(attr_file) as f:
-        lines = f.read().strip().splitlines()[2:]
-        for ln in lines:
-            parts = ln.split()
-            attrs[parts[0]] = max(0, int(parts[1]))
-    xs, ys = [], []
-    for n in names:
-        im = Image.open(os.path.join(img_dir, n))
-        w, h = im.size
-        left, top = (w - 148) // 2, (h - 148) // 2
-        im = im.crop((left, top, left + 148, top + 148)).resize((size, size))
-        xs.append(np.asarray(im, np.uint8))
-        ys.append(attrs.get(n, 0))
-    x = np.stack(xs)
-    y = np.asarray(ys, np.int32)
-    path = os.path.join(out_dir, 'celeba.npz')
-    np.savez_compressed(path, train_x=x[:-n_test], train_y=y[:-n_test],
-                        test_x=x[-n_test:], test_y=y[-n_test:])
-    return path
+def convert_celeba(celeba_root: str, out_dir: str) -> str:
+    """Build celeba.npz via the CANONICAL loader pipeline.
+
+    ``celeba_root`` is the standard distribution layout: an
+    ``img_align_celeba/`` directory plus the official sidecars
+    (``list_eval_partition.txt`` split, ``list_attr_celeba.txt`` labels).
+    Delegating to ``data.loaders._from_celeba_dir`` guarantees this
+    tool's cache is byte-identical to what a training run would build
+    itself — a previous hand-rolled converter here produced different
+    labels (binary first-attribute vs the 32-class attribute code),
+    a different split (last-10k vs the official partition), and a
+    different resample filter, silently changing BASELINE rows
+    depending on which path built the cache.
+    """
+    from gmvae_tpu.data import loaders
+    ds = loaders._from_celeba_dir(celeba_root)
+    if ds is None:
+        raise SystemExit(
+            f'{celeba_root!r} does not contain the standard CelebA '
+            f'layout (img_align_celeba/ + sidecar txt files)')
+    src = os.path.join(celeba_root, 'celeba.npz')  # the loader's cache
+    dst = os.path.join(out_dir, 'celeba.npz')
+    if os.path.abspath(src) != os.path.abspath(dst):
+        if os.path.exists(src):
+            import shutil
+            shutil.copy2(src, dst)
+        else:  # loader could not write its cache (read-only root)
+            np.savez_compressed(dst, train_x=ds.train_x,
+                                train_y=ds.train_y, test_x=ds.test_x,
+                                test_y=ds.test_y)
+    return dst
 
 
 def main() -> int:
@@ -86,7 +100,9 @@ def main() -> int:
     p.add_argument('--datasets', nargs='*',
                    default=['mnist', 'fmnist', 'cifar10'])
     p.add_argument('--svhn-mat', nargs=2, metavar=('TRAIN', 'TEST'))
-    p.add_argument('--celeba-dir', nargs=2, metavar=('IMG_DIR', 'ATTR_FILE'))
+    p.add_argument('--celeba-dir', metavar='CELEBA_ROOT',
+                   help='standard CelebA layout (img_align_celeba/ + '
+                        'official sidecar txt files)')
     args = p.parse_args()
     os.makedirs(args.out, exist_ok=True)
     for name in args.datasets:
@@ -94,7 +110,7 @@ def main() -> int:
     if args.svhn_mat:
         print('wrote', convert_svhn(*args.svhn_mat, args.out))
     if args.celeba_dir:
-        print('wrote', convert_celeba(*args.celeba_dir, args.out))
+        print('wrote', convert_celeba(args.celeba_dir, args.out))
     return 0
 
 

@@ -40,6 +40,10 @@ def main() -> None:
     from gmvae_tpu.utils.compile_cache import enable_compile_cache
     enable_compile_cache()
     which = sys.argv[1:] or [n for n, *_ in PLAN]
+    known = {n for n, *_ in PLAN}
+    if unknown := [w for w in which if w not in known]:
+        raise SystemExit(f'unknown configs: {unknown}; this tool knows '
+                         f'{sorted(known)}')
     for name, steps, n_eval, kw in PLAN:
         if name not in which:
             continue

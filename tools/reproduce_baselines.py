@@ -63,6 +63,11 @@ def measure(name: str, steps: int, n_eval: int, kw: dict) -> dict:
         else:
             imgs += s * cfg.batch_size
     float(np.asarray(m['elbo'][-1]))  # final fence
+    if imgs == 0:
+        raise SystemExit(
+            f'{name}: steps ({steps}) fit in one scan chunk, which this '
+            f'harness treats entirely as warmup — raise steps above '
+            f'scan_steps or the throughput row would read 0')
     ips = imgs / max(time.perf_counter() - t_steady, 1e-9)
     row = trainer.evaluate(state, max_examples=n_eval)
     # imgs counts the GLOBAL batch, so per-chip divides by the GLOBAL

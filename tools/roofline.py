@@ -87,7 +87,11 @@ def analyze(name: str, measure: bool, steps: int = 2000) -> dict:
         dt = time.perf_counter() - t0
         ips = n_chunks * s * cfg.batch_size / dt / jax.device_count()
         row['img_per_sec_chip'] = round(ips, 1)
-        steps_per_sec = ips / cfg.batch_size
+        # flops_step is the PER-DEVICE compiled module's count; the
+        # per-chip FLOP rate is per-device-flops x GLOBAL steps/sec
+        # (dividing global rate by device count twice understated MFU
+        # n_chips-fold on multi-chip meshes; single-chip unchanged)
+        steps_per_sec = ips * jax.device_count() / cfg.batch_size
         tflops = flops_step * steps_per_sec / 1e12
         gbs = bytes_step * steps_per_sec / 1e9
         row['sustained_tflops'] = round(tflops, 3)
