@@ -438,3 +438,44 @@ def test_float_npz_images_are_rescaled(tmp_path):
              test_x=xf[:8] * 255.0, test_y=y[:8])
     ds2 = data_lib.load('mnist', data_dir=str(tmp_path))
     np.testing.assert_array_equal(ds.train_x, ds2.train_x)
+
+
+def test_fetch_datasets_celeba_matches_canonical_loader(tmp_path):
+    """tools/fetch_datasets.convert_celeba must produce the EXACT cache
+    a training run would build itself (it delegates to the loader; the
+    old hand-rolled converter silently diverged in labels/split)."""
+    import os
+    import sys
+
+    from PIL import Image
+
+    rng = np.random.default_rng(9)
+    root = tmp_path / 'celeba_root'
+    (root / 'img_align_celeba').mkdir(parents=True)
+    names = [f'{i:06d}.jpg' for i in range(1, 11)]
+    for n in names:
+        Image.fromarray(rng.integers(0, 256, size=(218, 178, 3),
+                                     dtype=np.uint8)).save(
+            root / 'img_align_celeba' / n)
+    (root / 'list_eval_partition.txt').write_text(
+        ''.join(f'{n} {0 if i < 7 else 2}\n' for i, n in enumerate(names)))
+    (root / 'identity_CelebA.txt').write_text(
+        ''.join(f'{n} {50 + i % 2}\n' for i, n in enumerate(names)))
+
+    tools_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             '..', 'tools')
+    sys.path.insert(0, tools_dir)
+    try:
+        import fetch_datasets
+    finally:
+        sys.path.pop(0)
+    out = tmp_path / 'out'
+    out.mkdir()
+    path = fetch_datasets.convert_celeba(str(root), str(out))
+
+    ds = data_lib.load('celeba', data_dir=str(root))
+    with np.load(path) as z:
+        np.testing.assert_array_equal(z['train_x'], ds.train_x)
+        np.testing.assert_array_equal(z['train_y'], ds.train_y)
+        np.testing.assert_array_equal(z['test_x'], ds.test_x)
+        np.testing.assert_array_equal(z['test_y'], ds.test_y)
