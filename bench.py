@@ -6,14 +6,16 @@ methodology (compile excluded, device->host fetch as the timing fence).
 """
 
 import json
+import os
+import sys
+import time
 
 try:
     from gmvae_tpu.benchmark import run_bench
 except ImportError:  # driver runs this file in place, package not installed
-    import os
-    import sys
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from gmvae_tpu.benchmark import run_bench
+
 
 def _backend_reachable(timeout_s: int = 180) -> bool:
     """Bounded backend probe in a subprocess.
@@ -22,9 +24,7 @@ def _backend_reachable(timeout_s: int = 180) -> bool:
     (observed outage) — probing in-process would hang this entry point
     too, and the driver would record a timeout instead of a diagnosis.
     """
-    import os
     import subprocess
-    import sys
     try:
         p = subprocess.run(
             [sys.executable, '-c', 'import jax; jax.devices()'],
@@ -35,12 +35,49 @@ def _backend_reachable(timeout_s: int = 180) -> bool:
         return False
 
 
+def wait_for_backend(window_s: float = 2700.0, retry_every_s: float = 180.0,
+                     probe=None, sleep=None, now=None, log=None) -> bool:
+    """Retry the backend probe over a bounded window before giving up.
+
+    Round 3's single 180 s probe forfeited the whole round's BENCH
+    artifact on one transient tunnel flap (BENCH_r03.json rc=3). This
+    re-probes every ``retry_every_s`` for up to ``window_s`` (defaults:
+    45 min window, 3 min between probes — env-overridable via
+    GMVAE_BENCH_PROBE_WINDOW_S / GMVAE_BENCH_PROBE_EVERY_S), logging
+    progress to stderr, and only then reports unreachable. Always probes
+    at least once, so window_s=0 degrades to the old single-probe shape.
+    """
+    probe = probe or _backend_reachable
+    sleep = sleep or time.sleep
+    now = now or time.monotonic
+    log = log or (lambda msg: print(msg, file=sys.stderr, flush=True))
+    t0 = now()
+    attempt = 0
+    while True:
+        attempt += 1
+        if probe():
+            if attempt > 1:
+                log(f'bench.py: backend reachable after {attempt} probes '
+                    f'({now() - t0:.0f} s)')
+            return True
+        elapsed = now() - t0
+        if elapsed >= window_s:
+            log(f'bench.py: backend still unreachable after {attempt} '
+                f'probes over {elapsed:.0f} s — giving up')
+            return False
+        log(f'bench.py: backend unreachable (probe {attempt}, '
+            f'{elapsed:.0f}/{window_s:.0f} s) — retrying in '
+            f'{retry_every_s:.0f} s')
+        sleep(retry_every_s)
+
+
 if __name__ == '__main__':
-    import sys
-    if not _backend_reachable():
+    window_s = float(os.environ.get('GMVAE_BENCH_PROBE_WINDOW_S', 2700))
+    retry_s = float(os.environ.get('GMVAE_BENCH_PROBE_EVERY_S', 180))
+    if not wait_for_backend(window_s=window_s, retry_every_s=retry_s):
         print('bench.py: accelerator backend unreachable (remote-TPU '
-              'tunnel down or hung) — retry when the tunnel recovers',
-              file=sys.stderr)
+              'tunnel down or hung) — retried over a bounded window; '
+              'rerun when the tunnel recovers', file=sys.stderr)
         sys.exit(3)
     from gmvae_tpu.utils.compile_cache import enable_compile_cache
     enable_compile_cache()

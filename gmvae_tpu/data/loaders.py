@@ -43,9 +43,27 @@ def _ensure_nhwc(x: np.ndarray, shape) -> np.ndarray:
     if np.issubdtype(x.dtype, np.floating):
         # float exports come in [0,1] (normalized) or [0,255]; a blind
         # uint8 cast would truncate the former to all-zeros and train on
-        # black images without any error
-        scale = 255.0 if float(x.max(initial=0.0)) <= 1.0 + 1e-6 else 1.0
+        # black images without any error. The boundary is ambiguous for
+        # max in (1, 2]: a genuinely-[0,255] export never peaks that low,
+        # while a [0,1] export can overshoot slightly (augmentation /
+        # normalization) — treating it as [0,255] would quantize the whole
+        # dataset to near-black. So (1, 2] counts as [0,1]-with-overshoot,
+        # loudly.
+        mx = float(x.max(initial=0.0))
+        scale = 255.0 if mx <= 2.0 else 1.0
+        if 1.0 + 1e-6 < mx <= 2.0:
+            warnings.warn(
+                f'float dataset max {mx:.4g} is ambiguous between [0,1] '
+                f'and [0,255]; treating as [0,1] with overshoot (values '
+                f'clipped to 1.0) — pass uint8 or a clean range to '
+                f'silence this')
         x = np.clip(np.rint(x * scale), 0, 255)
+        if scale == 1.0 and float(x.mean()) < 1.0:
+            warnings.warn(
+                f'float dataset inferred as [0,255] (max {mx:.4g}) but '
+                f'quantizes to a near-black uint8 image set (mean '
+                f'{float(x.mean()):.3g}/255) — if the source was '
+                f'[0,1]-normalized, rescale it before loading')
     return x.astype(np.uint8)
 
 

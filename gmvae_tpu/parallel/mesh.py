@@ -40,17 +40,28 @@ def init_distributed() -> None:
     """
     if not os.environ.get('JAX_COORDINATOR_ADDRESS'):
         return
-    from jax._src import distributed as _dist
-    if getattr(_dist.global_state, 'client', None) is not None:
-        return  # launcher (or a test harness) already initialized
+    try:
+        # private API — guarded so a jax upgrade that moves it degrades to
+        # the initialize()+already-initialized fallback below instead of
+        # raising on every pod launch (Trainer.__init__ calls this
+        # unconditionally when JAX_COORDINATOR_ADDRESS is set)
+        from jax._src import distributed as _dist
+        if getattr(_dist.global_state, 'client', None) is not None:
+            return  # launcher (or a test harness) already initialized
+    except (ImportError, AttributeError):
+        pass
     # on real TPU pods initialize() auto-detects process count/id from
     # the TPU cluster metadata; generic launchers (and the 2-process CPU
     # test) have no detector, so accept the pair explicitly
     num = os.environ.get('GMVAE_NUM_PROCESSES')
     pid = os.environ.get('GMVAE_PROCESS_ID')
-    jax.distributed.initialize(
-        num_processes=int(num) if num else None,
-        process_id=int(pid) if pid else None)
+    try:
+        jax.distributed.initialize(
+            num_processes=int(num) if num else None,
+            process_id=int(pid) if pid else None)
+    except RuntimeError as e:
+        if 'already initialized' not in str(e).lower():
+            raise
 
 
 def make_mesh(dp_devices: int = -1, model_devices: int = 1,

@@ -581,8 +581,13 @@ class Trainer:
         measurement harnesses (tools/reproduce_baselines.py).
         """
         chunk = max(1, self.cfg.scan_steps)
-        # window sized to ~8 MB of int32 indices regardless of batch size
-        window = max(chunk,
+        # window sized to ~8 MB of int32 indices — but floored at several
+        # chunks: at extreme batch sizes (2M // batch < chunk) the byte
+        # budget alone would collapse window == chunk, regenerating the
+        # plan (a host round-trip) EVERY chunk — exactly the stall this
+        # windowing exists to avoid. 8 chunks of indices is still bounded
+        # (8 * chunk * batch int32s, ≪ the batch data itself).
+        window = max(chunk * 8,
                      (2_000_000 // self.cfg.batch_size) // chunk * chunk)
         multi_window = total - start > window
         stream = self.x_all is None

@@ -9,6 +9,7 @@ only and restore everywhere.
 from __future__ import annotations
 
 import os
+import re
 from typing import Any, Dict
 
 import jax
@@ -43,20 +44,20 @@ def restore_ckpt(path: str, like: Dict[str, Any]) -> Dict[str, Any]:
 
 
 def _list_ckpts(run_dir: str) -> list:
-    """``ckpt_*.msgpack`` filenames in step order (oldest first)."""
+    """Canonical ``ckpt_<step>.msgpack`` filenames in step order (oldest
+    first). ONLY exact canonical names count: a user's copy like
+    ``ckpt_5000_best.msgpack`` is their data — it must neither consume the
+    retention budget in :func:`prune_ckpts` (which could delete real
+    snapshots while the copy survives) nor shadow the canonical snapshot
+    in :func:`latest_ckpt`."""
     if not os.path.isdir(run_dir):
         return []
-    def step_of(f):
-        # tolerate non-numeric names (a user's ckpt_best.msgpack copy
-        # must not brick resume/eval/prune for the whole run dir)
-        try:
-            return int(f.split('_')[1].split('.')[0])
-        except ValueError:
-            return None
-
-    cands = [(step_of(f), f) for f in os.listdir(run_dir)
-             if f.startswith('ckpt_') and f.endswith('.msgpack')]
-    return [f for s, f in sorted(c for c in cands if c[0] is not None)]
+    cands = []
+    for f in os.listdir(run_dir):
+        m = re.fullmatch(r'ckpt_(\d+)\.msgpack', f)
+        if m:
+            cands.append((int(m.group(1)), f))
+    return [f for _, f in sorted(cands)]
 
 
 def latest_ckpt(run_dir: str) -> str | None:

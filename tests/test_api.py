@@ -408,11 +408,15 @@ def test_stray_ckpt_name_tolerated(tmp_path):
     from gmvae_tpu.utils import checkpoint as ckpt_lib
     (tmp_path / 'ckpt_40.msgpack').write_bytes(b'x')
     (tmp_path / 'ckpt_best.msgpack').write_bytes(b'x')  # user copy
+    # a NUMBERED user copy must not shadow the canonical snapshot in
+    # latest_ckpt nor consume prune_ckpts' keep budget (ADVICE r3)
+    (tmp_path / 'ckpt_500_best.msgpack').write_bytes(b'x')
     (tmp_path / 'ckpt_100.msgpack').write_bytes(b'x')
     assert ckpt_lib.latest_ckpt(str(tmp_path)).endswith('ckpt_100.msgpack')
     ckpt_lib.prune_ckpts(str(tmp_path), keep=1)
     left = sorted(p.name for p in tmp_path.iterdir())
-    assert left == ['ckpt_100.msgpack', 'ckpt_best.msgpack']
+    assert left == ['ckpt_100.msgpack', 'ckpt_500_best.msgpack',
+                    'ckpt_best.msgpack']
 
 
 def test_latent_embed_empty_input(tmp_path):

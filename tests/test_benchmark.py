@@ -1,9 +1,75 @@
 """Benchmark harness tests (SURVEY.md §2.1 'Benchmark harness'): schema,
-compile exclusion, and the timing fence actually forcing execution."""
+compile exclusion, the timing fence actually forcing execution, and the
+driver entry's bounded probe-retry window (VERDICT r3 #1)."""
 
+import importlib.util
 import json
+import os
 
 from gmvae_tpu import benchmark, configs
+
+
+def _load_bench_module():
+    path = os.path.join(os.path.dirname(__file__), '..', 'bench.py')
+    spec = importlib.util.spec_from_file_location('bench_entry', path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_wait_for_backend_retries_through_a_transient_flap():
+    """One transient outage at capture time must not forfeit the BENCH
+    artifact: the probe retries within the window and succeeds when the
+    tunnel recovers (r3's single-probe behavior returned False here)."""
+    bench = _load_bench_module()
+    results = iter([False, False, True])
+    clock = [0.0]
+
+    def fake_sleep(s):
+        clock[0] += s
+
+    logs = []
+    ok = bench.wait_for_backend(
+        window_s=600, retry_every_s=60, probe=lambda: next(results),
+        sleep=fake_sleep, now=lambda: clock[0], log=logs.append)
+    assert ok
+    assert clock[0] == 120  # two sleeps between the three probes
+    assert any('retrying' in m for m in logs)
+    assert any('reachable after 3 probes' in m for m in logs)
+
+
+def test_wait_for_backend_gives_up_after_the_window():
+    bench = _load_bench_module()
+    clock = [0.0]
+    probes = [0]
+
+    def probe():
+        probes[0] += 1
+        return False
+
+    ok = bench.wait_for_backend(
+        window_s=300, retry_every_s=100, probe=probe,
+        sleep=lambda s: clock.__setitem__(0, clock[0] + s),
+        now=lambda: clock[0], log=lambda m: None)
+    assert not ok
+    # probes at t=0,100,200,300; the t=300 one hits the window bound
+    assert probes[0] == 4
+
+
+def test_wait_for_backend_zero_window_probes_exactly_once():
+    """window_s=0 degrades to the old single-probe shape (no sleep)."""
+    bench = _load_bench_module()
+    probes = [0]
+
+    def probe():
+        probes[0] += 1
+        return False
+
+    ok = bench.wait_for_backend(
+        window_s=0, retry_every_s=60, probe=probe,
+        sleep=lambda s: (_ for _ in ()).throw(AssertionError('slept')),
+        now=lambda: 0.0, log=lambda m: None)
+    assert not ok and probes[0] == 1
 
 
 def test_run_bench_schema_and_sanity():

@@ -479,3 +479,34 @@ def test_fetch_datasets_celeba_matches_canonical_loader(tmp_path):
         np.testing.assert_array_equal(z['train_y'], ds.train_y)
         np.testing.assert_array_equal(z['test_x'], ds.test_x)
         np.testing.assert_array_equal(z['test_y'], ds.test_y)
+
+
+def test_float_scale_heuristic_warns_on_ambiguous_range():
+    """A nominally-[0,1] dataset with slight overshoot (max in (1, 2])
+    must NOT silently quantize to near-black [0,255]-interpreted images
+    (ADVICE r3): it is treated as [0,1]-with-overshoot, with a warning."""
+    from gmvae_tpu.data import loaders
+    x = np.full((4, 8, 8, 1), 0.5, np.float32)
+    x[0, 0, 0, 0] = 1.3  # augmentation overshoot
+    with pytest.warns(UserWarning, match='ambiguous'):
+        out = loaders._ensure_nhwc(x, (8, 8, 1))
+    assert out.dtype == np.uint8
+    assert out.max() == 255 and abs(int(out[1, 0, 0, 0]) - 128) <= 1
+
+
+def test_float_scale_heuristic_warns_on_near_black_quantization():
+    from gmvae_tpu.data import loaders
+    # inferred [0,255] (max > 2) but the quantized set is near-black
+    x = np.full((4, 8, 8, 1), 0.01, np.float32)
+    x[0, 0, 0, 0] = 3.0
+    with pytest.warns(UserWarning, match='near-black'):
+        out = loaders._ensure_nhwc(x, (8, 8, 1))
+    assert out.dtype == np.uint8
+
+    # clean ranges stay silent
+    import warnings as _w
+    for clean in (np.full((2, 8, 8, 1), 0.5, np.float32),
+                  np.full((2, 8, 8, 1), 200.0, np.float32)):
+        with _w.catch_warnings():
+            _w.simplefilter('error')
+            loaders._ensure_nhwc(clean, (8, 8, 1))

@@ -182,7 +182,9 @@ def test_http_server_roundtrip(trained, tmp_path):
     cfg, trainer, state = trained
     path = os.path.join(tmp_path, 'assign.jaxexport')
     serving.export_verb(trainer, state, 'assign', path=path)
-    srv = serve_http.make_server(path, port=0)   # ephemeral port
+    # small body cap so the 413 path is exercised without a huge payload
+    srv = serve_http.make_server(path, port=0,   # ephemeral port
+                                 max_body_bytes=16 * 1024)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
     try:
@@ -222,6 +224,21 @@ def test_http_server_roundtrip(trained, tmp_path):
         except urllib.error.HTTPError as e:
             assert e.code == 400
             assert 'artifact spec' in json.loads(e.read())['error']
+
+        # a body over the server's cap is refused BEFORE being read (413):
+        # the declared Content-Length is client-controlled and must not be
+        # able to exhaust host RAM (ADVICE r3)
+        big = io.BytesIO()
+        np.save(big, np.zeros((200, 8, 8, 1), np.float32))  # ~50 KB > 16 KB
+        assert len(big.getvalue()) > 16 * 1024
+        try:
+            urllib.request.urlopen(
+                urllib.request.Request(url + '/predict',
+                                       data=big.getvalue()), timeout=30)
+            raise AssertionError('expected HTTP 413')
+        except urllib.error.HTTPError as e:
+            assert e.code == 413
+            assert 'exceeds the server cap' in json.loads(e.read())['error']
     finally:
         srv.shutdown()
         srv.server_close()

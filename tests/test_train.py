@@ -260,3 +260,25 @@ def test_fit_with_eval_disabled(tmp_path):
     _, state, history = train_lib.fit(cfg)
     assert int(state.step) == 40
     assert history == []
+
+
+def test_chunk_plan_window_floored_at_several_chunks():
+    """At extreme batch sizes the ~8 MB index budget alone would collapse
+    the plan window to ONE chunk — regenerating the plan (a host
+    round-trip) every chunk, the exact stall super-chunking exists to
+    avoid (ADVICE r3). The window is floored at 8 chunks instead."""
+    cfg = configs.synthetic_tiny(batch_size=32, scan_steps=5)
+    trainer = train_lib.Trainer(cfg)
+    # 2M // batch == 0 < chunk: the byte budget alone would give window=chunk
+    trainer.cfg = cfg.replace(batch_size=4_000_000)
+    calls = []
+
+    def fake_plan(n_steps, start_step=0):
+        calls.append((n_steps, start_step))
+        return np.zeros((n_steps, 4), np.int32)
+
+    trainer.batch_plan = fake_plan
+    chunks = list(trainer.iter_chunk_plans(0, 50))
+    assert len(chunks) == 10 and all(s == 5 for s, _ in chunks)
+    # floor = 8 chunks = 40 steps -> exactly two generations, not ten
+    assert calls == [(40, 0), (40, 40)]

@@ -40,7 +40,7 @@ import numpy as np
 _CALL_LOCK = threading.Lock()
 
 
-def make_handler(exported, put_fn):
+def make_handler(exported, put_fn, max_body_bytes: int = 64 * 1024 * 1024):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet by default
             pass
@@ -63,6 +63,14 @@ def make_handler(exported, put_fn):
                 # input parsing + shape validation: failures here are the
                 # CLIENT's (400)
                 n = int(self.headers['Content-Length'])
+                if n > max_body_bytes:
+                    # refuse BEFORE reading: the declared length is
+                    # client-controlled, and reading it unconditionally
+                    # lets one request exhaust host RAM (--max-body-mb)
+                    self._send_json_error(413, ValueError(
+                        f'request body {n} bytes exceeds the server cap '
+                        f'{max_body_bytes} (raise with --max-body-mb)'))
+                    return
                 x = np.asarray(
                     np.load(io.BytesIO(self.rfile.read(n)),
                             allow_pickle=False), np.float32)
@@ -112,7 +120,9 @@ def make_handler(exported, put_fn):
 
 
 def make_server(artifact_path: str, host: str = '127.0.0.1',
-                port: int = 8901) -> ThreadingHTTPServer:
+                port: int = 8901,
+                max_body_bytes: int = 64 * 1024 * 1024
+                ) -> ThreadingHTTPServer:
     """Build (but don't start) the server; port 0 picks an ephemeral port."""
     import jax
     from jax import export as jexport
@@ -131,7 +141,8 @@ def make_server(artifact_path: str, host: str = '127.0.0.1',
         put_fn = lambda x: jax.device_put(x, sh)
     else:
         put_fn = lambda x: x
-    return ThreadingHTTPServer((host, port), make_handler(exported, put_fn))
+    return ThreadingHTTPServer(
+        (host, port), make_handler(exported, put_fn, max_body_bytes))
 
 
 def main() -> int:
@@ -139,8 +150,11 @@ def main() -> int:
     ap.add_argument('artifact')
     ap.add_argument('--host', default='127.0.0.1')
     ap.add_argument('--port', type=int, default=8901)
+    ap.add_argument('--max-body-mb', type=int, default=64,
+                    help='reject request bodies larger than this (413)')
     args = ap.parse_args()
-    srv = make_server(args.artifact, args.host, args.port)
+    srv = make_server(args.artifact, args.host, args.port,
+                      max_body_bytes=args.max_body_mb * 1024 * 1024)
     print(json.dumps({'serving': args.artifact,
                       'url': f'http://{srv.server_address[0]}:'
                              f'{srv.server_address[1]}'}), flush=True)
