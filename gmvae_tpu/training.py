@@ -367,6 +367,12 @@ def pad_to_multiple(x: np.ndarray, multiple: int) -> Tuple[np.ndarray, int]:
     return x, n
 
 
+# eval staging budget: uint8 bytes resident per super-stage. 256 MB covers
+# every BASELINE test set in ONE stage (celeba's 19962x64x64x3 = 245 MB is
+# the largest) while staying ~1.5% of a v5e chip's HBM.
+_EVAL_STAGE_BYTES = 256 * 1024 * 1024
+
+
 def evaluate(eval_step, cfg: Config, mesh, params, test_x: np.ndarray,
              test_y: Optional[np.ndarray], step: int,
              seed: int = 17, batch_size: Optional[int] = None) -> Dict[str, float]:
@@ -374,8 +380,10 @@ def evaluate(eval_step, cfg: Config, mesh, params, test_x: np.ndarray,
 
     Multi-host-safe: every process holds the identical ``test_x`` (datasets
     are deterministic from the config seed, or the same real files), each
-    eval batch is assembled into a GLOBAL array sharded over the data axis
-    (``put_global``), and the jitted step returns replicated outputs — so
+    super-stage is assembled into a GLOBAL array sharded over the data axis
+    (``put_global``), batches are device-side slices of it (a global SPMD
+    op every process dispatches in lockstep), and the jitted step returns
+    replicated outputs — so
     this runs unmodified on a one-chip mesh or a v5e-16 pod slice, with
     every process computing identical metrics (asserted by
     tests/multihost/worker.py).
@@ -383,20 +391,38 @@ def evaluate(eval_step, cfg: Config, mesh, params, test_x: np.ndarray,
     bs = batch_size or cfg.batch_size
     xs, n = pad_to_multiple(np.asarray(test_x), bs)
     key = jax.random.PRNGKey(seed)
-    elbos, iwaes, yhats = [], [], []
     step_arr = jnp.int32(step)
-    for i in range(0, xs.shape[0], bs):
-        k = jax.random.fold_in(key, i)
-        batch = mesh_lib.put_global(mesh, P(DATA), xs[i:i + bs])
-        e, iw, y = eval_step(params, batch, k, step_arr)
-        elbos.append(np.asarray(e))
-        iwaes.append(np.asarray(iw))
-        yhats.append(np.asarray(y))
-    elbo = float(np.concatenate(elbos)[:n].mean())
-    out = {'elbo_nats': elbo,
-           'iwae_nats': float(np.concatenate(iwaes)[:n].mean())}
+    # Stage the sweep instead of round-tripping per batch: the old
+    # per-batch put_global + three np.asarray fetches cost one sequential
+    # put->dispatch->fetch cycle PER BATCH — on the remote-TPU tunnel a
+    # 10k-example eval was ~79 serial round-trips, dominating wall-clock
+    # for every long run (VERDICT r3 #5). Now the padded set goes up in
+    # byte-bounded super-stages (one async put_global each, the
+    # stage_batches pattern), each batch is a device-side slice of the
+    # stage, every eval_step dispatch is async, and the three outputs are
+    # concatenated ON DEVICE and fetched once at the end. Trajectory-
+    # invariant by construction: per-batch keys (fold_in(key, example
+    # offset)), batch bytes, and the jitted eval_step are identical, and
+    # concatenation is exact — goldens and the eval==train-row identity
+    # do not move.
+    stacked = xs.reshape(-1, bs, *xs.shape[1:])          # [C, bs, ...]
+    per_stage = max(1, _EVAL_STAGE_BYTES // max(1, stacked[0].nbytes))
+    elbos, iwaes, yhats = [], [], []
+    for s0 in range(0, stacked.shape[0], per_stage):
+        staged = mesh_lib.put_global(mesh, P(None, DATA),
+                                     stacked[s0:s0 + per_stage])
+        for c in range(staged.shape[0]):
+            k = jax.random.fold_in(key, (s0 + c) * bs)
+            e, iw, y = eval_step(params, staged[c], k, step_arr)
+            elbos.append(e)
+            iwaes.append(iw)
+            yhats.append(y)
+    elbo = np.asarray(jnp.concatenate(elbos))[:n]
+    iwae = np.asarray(jnp.concatenate(iwaes))[:n]
+    out = {'elbo_nats': float(elbo.mean()),
+           'iwae_nats': float(iwae.mean())}
     if test_y is not None:
-        yhat = np.concatenate(yhats)[:n]
+        yhat = np.asarray(jnp.concatenate(yhats))[:n]
         out['acc'] = metrics_lib.cluster_acc(test_y, yhat)
         out['nmi'] = metrics_lib.nmi(test_y, yhat)
     return out

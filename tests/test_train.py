@@ -282,3 +282,66 @@ def test_chunk_plan_window_floored_at_several_chunks():
     assert len(chunks) == 10 and all(s == 5 for s, _ in chunks)
     # floor = 8 chunks = 40 steps -> exactly two generations, not ten
     assert calls == [(40, 0), (40, 40)]
+
+
+def test_evaluate_staged_sweep_bit_equals_per_batch_protocol(tmp_path):
+    """The staged eval sweep (one put_global per super-stage, device-side
+    batch slices, single end fetch — VERDICT r3 #5) must reproduce the old
+    per-batch put->dispatch->fetch protocol BIT-FOR-BIT: same per-batch
+    keys, same batch bytes, same jitted eval_step. Also pins the staging
+    shape: no per-batch put_global (multi-stage path exercised by
+    shrinking the stage budget)."""
+    from jax.sharding import PartitionSpec as P
+    from gmvae_tpu.parallel import mesh as mesh_lib
+
+    cfg = configs.synthetic_tiny(steps=20, eval_every=10**9, ckpt_every=0,
+                                 batch_size=32, run_dir=str(tmp_path))
+    trainer = train_lib.Trainer(cfg)
+    state = trainer.init_state()
+    xs = trainer.dataset.test_x[:100]          # pads to 4 batches of 32
+    ys = trainer.dataset.test_y[:100]
+
+    # reference: the pre-staging protocol, inlined
+    bs = cfg.batch_size
+    xp, n = train_lib.pad_to_multiple(np.asarray(xs), bs)
+    key = jax.random.PRNGKey(17)
+    step_arr = jnp.int32(int(state.step))
+    ref_e, ref_iw, ref_y = [], [], []
+    for i in range(0, xp.shape[0], bs):
+        k = jax.random.fold_in(key, i)
+        batch = mesh_lib.put_global(trainer.mesh, P('data'), xp[i:i + bs])
+        e, iw, y = trainer.eval_step(state.params, batch, k, step_arr)
+        ref_e.append(np.asarray(e))
+        ref_iw.append(np.asarray(iw))
+        ref_y.append(np.asarray(y))
+    ref = {'elbo_nats': float(np.concatenate(ref_e)[:n].mean()),
+           'iwae_nats': float(np.concatenate(ref_iw)[:n].mean())}
+
+    puts = []
+    orig_put = mesh_lib.put_global
+
+    def counting_put(mesh, spec, arr):
+        puts.append(np.asarray(arr).shape)
+        return orig_put(mesh, spec, arr)
+
+    train_lib.mesh_lib.put_global = counting_put
+    try:
+        out = train_lib.evaluate(trainer.eval_step, cfg, trainer.mesh,
+                                 state.params, xs, ys, int(state.step))
+        assert puts == [(4, bs, 8, 8, 1)]      # ONE staged put, not four
+        assert out['elbo_nats'] == ref['elbo_nats']
+        assert out['iwae_nats'] == ref['iwae_nats']
+
+        # multi-stage path (budget forces 2-batch stages): same numbers
+        puts.clear()
+        old_budget = train_lib._EVAL_STAGE_BYTES
+        train_lib._EVAL_STAGE_BYTES = 2 * bs * 8 * 8
+        try:
+            out2 = train_lib.evaluate(trainer.eval_step, cfg, trainer.mesh,
+                                      state.params, xs, ys, int(state.step))
+        finally:
+            train_lib._EVAL_STAGE_BYTES = old_budget
+        assert puts == [(2, bs, 8, 8, 1), (2, bs, 8, 8, 1)]
+        assert out2 == out
+    finally:
+        train_lib.mesh_lib.put_global = orig_put
