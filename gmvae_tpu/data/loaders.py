@@ -15,6 +15,9 @@ class Dataset(NamedTuple):
 
     Labels are for EVALUATION ONLY (clustering ACC/NMI) — training is fully
     unsupervised. ``synthetic`` is True when a fallback replaced real data.
+    ``source`` records provenance as ``<loader-kind>:<path-or-seed>`` (e.g.
+    ``npz:/data/mnist.npz``, ``synthetic:seed=77``) so acceptance outputs
+    are self-describing about what data actually backed each row.
     """
     name: str
     train_x: np.ndarray
@@ -22,6 +25,7 @@ class Dataset(NamedTuple):
     test_x: np.ndarray
     test_y: np.ndarray
     synthetic: bool = False
+    source: str = ''
 
 
 _SHAPES = {
@@ -78,6 +82,7 @@ def _from_npz(name: str, data_dir: str) -> Optional[Dataset]:
             train_y=z['train_y'].astype(np.int32).ravel(),
             test_x=_ensure_nhwc(z['test_x'], _SHAPES[name]),
             test_y=z['test_y'].astype(np.int32).ravel(),
+            source=f'npz:{path}',
         )
 
 
@@ -106,7 +111,8 @@ def _from_svhn_mat(data_dir: str) -> Optional[Dataset]:
 
     tx, ty = load(train_p)
     ex, ey = load(test_p)
-    return Dataset(name='svhn', train_x=_ensure_nhwc(tx, _SHAPES['svhn']),
+    return Dataset(name='svhn', source=f'svhn_mat:{train_p}',
+                   train_x=_ensure_nhwc(tx, _SHAPES['svhn']),
                    train_y=ty, test_x=_ensure_nhwc(ex, _SHAPES['svhn']),
                    test_y=ey)
 
@@ -158,7 +164,8 @@ def _from_idx(name: str, data_dir: str) -> Optional[Dataset]:
 
     tx, ty = read(paths['train'][0]), read(paths['train'][1])
     ex, ey = read(paths['test'][0]), read(paths['test'][1])
-    return Dataset(name=name, train_x=_ensure_nhwc(tx, _SHAPES[name]),
+    return Dataset(name=name, source=f'idx:{paths["train"][0]}',
+                   train_x=_ensure_nhwc(tx, _SHAPES[name]),
                    train_y=ty, test_x=_ensure_nhwc(ex, _SHAPES[name]),
                    test_y=ey)
 
@@ -332,7 +339,7 @@ def _from_celeba_dir(data_dir: str) -> Optional[Dataset]:
         is_test[i] = (partition[fname] == 2 if fname in partition
                       else i >= len(names) - n_fallback_test)
 
-    ds = Dataset(name='celeba',
+    ds = Dataset(name='celeba', source=f'celeba_dir:{root}',
                  train_x=xs[~is_test], train_y=ys[~is_test],
                  test_x=xs[is_test], test_y=ys[is_test])
     try:
@@ -381,6 +388,7 @@ def _from_keras(name: str) -> Optional[Dataset]:
             train_y=np.asarray(ty).astype(np.int32).ravel(),
             test_x=_ensure_nhwc(ex, _SHAPES[name]),
             test_y=np.asarray(ey).astype(np.int32).ravel(),
+            source=f'keras:{name}',
         )
     except Exception:
         return None
@@ -428,7 +436,8 @@ def make_synthetic(image_shape=(8, 8, 1), n_clusters: int = 2,
     train_x, train_y = draw(n_train, rng)
     test_x, test_y = draw(n_test, rng)
     return Dataset(name=name, train_x=train_x, train_y=train_y,
-                   test_x=test_x, test_y=test_y, synthetic=True)
+                   test_x=test_x, test_y=test_y, synthetic=True,
+                   source=f'synthetic:seed={seed}')
 
 
 def make_synthetic_hard(seed: int = 77) -> Dataset:

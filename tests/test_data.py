@@ -510,3 +510,23 @@ def test_float_scale_heuristic_warns_on_near_black_quantization():
         with _w.catch_warnings():
             _w.simplefilter('error')
             loaders._ensure_nhwc(clean, (8, 8, 1))
+
+
+def test_dataset_source_provenance(tmp_path):
+    """Every loader stamps ``Dataset.source`` (loader-kind:path) so
+    acceptance outputs are self-describing (VERDICT r3 #6)."""
+    rng = np.random.default_rng(0)
+    np.savez(tmp_path / 'mnist.npz',
+             train_x=rng.integers(0, 256, (8, 28, 28, 1), dtype=np.uint8),
+             train_y=np.zeros(8, np.int32),
+             test_x=rng.integers(0, 256, (4, 28, 28, 1), dtype=np.uint8),
+             test_y=np.zeros(4, np.int32))
+    ds = data_lib.load('mnist', data_dir=str(tmp_path))
+    assert ds.source == f'npz:{tmp_path / "mnist.npz"}'
+
+    with pytest.warns(UserWarning, match='synthetic stand-in'):
+        fb = data_lib.load('cifar10', data_dir=str(tmp_path / 'nope'))
+    assert fb.synthetic and fb.source.startswith('synthetic:seed=')
+
+    syn = data_lib.load('synthetic_hard')
+    assert syn.source == 'synthetic:seed=77'

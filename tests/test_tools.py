@@ -1,0 +1,74 @@
+"""Acceptance-protocol tooling tests (VERDICT r3 #6): the one-command
+dress rehearsal must be provenance-stamped and --require-real must fail
+fast BEFORE any training when real data is absent."""
+
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, 'tools')
+import reproduce_baselines as rb  # noqa: E402
+
+
+def _write_mnist_npz(d):
+    rng = np.random.default_rng(3)
+    np.savez(d / 'mnist.npz',
+             train_x=rng.integers(0, 256, (64, 28, 28, 1), dtype=np.uint8),
+             train_y=np.zeros(64, np.int32),
+             test_x=rng.integers(0, 256, (16, 28, 28, 1), dtype=np.uint8),
+             test_y=np.zeros(16, np.int32))
+
+
+def test_require_real_fails_fast_listing_missing(tmp_path, monkeypatch):
+    monkeypatch.setenv('GMVAE_DATA_DIR', str(tmp_path))  # empty dir
+    with pytest.raises(SystemExit) as e:
+        rb.preflight_require_real({'mnist_k10', 'svhn_conv'})
+    msg = str(e.value)
+    assert 'mnist_k10 (mnist)' in msg and 'svhn_conv (svhn)' in msg
+    assert '2 row(s)' in msg
+
+
+def test_require_real_passes_with_real_fixture(tmp_path, monkeypatch):
+    monkeypatch.setenv('GMVAE_DATA_DIR', str(tmp_path))
+    _write_mnist_npz(tmp_path)
+    rb.preflight_require_real({'mnist_k10'})     # must not raise
+
+
+def test_require_real_skips_frozen_synthetic_fixture(tmp_path, monkeypatch):
+    """synthetic_hard IS the real (frozen) fixture — --require-real must
+    not demand a file for it."""
+    monkeypatch.setenv('GMVAE_DATA_DIR', str(tmp_path))
+    rb.preflight_require_real({'synthetic_hard'})
+
+
+def test_main_require_real_exits_before_training(tmp_path, monkeypatch):
+    """The CLI path: a --require-real run with no data must exit without
+    measuring anything (measure() would take minutes)."""
+    monkeypatch.setenv('GMVAE_DATA_DIR', str(tmp_path))
+    calls = []
+    monkeypatch.setattr(rb, 'measure',
+                        lambda *a, **k: calls.append(a) or {})
+    with pytest.raises(SystemExit, match='require-real'):
+        rb.main(['mnist_k10', '--require-real'])
+    assert calls == []
+
+
+def test_main_row_carries_provenance(tmp_path, monkeypatch, capsys):
+    """Rows emitted by main() carry synthetic_standin + source."""
+    import json
+    monkeypatch.setenv('GMVAE_DATA_DIR', str(tmp_path))
+    _write_mnist_npz(tmp_path)
+
+    def fake_measure(name, steps, n_eval, kw, require_real=False):
+        cfg = rb.configs.get_config(name, **kw)
+        ds = rb.data_lib.load(cfg.dataset, image_shape=cfg.image_shape,
+                              allow_synthetic_fallback=not require_real)
+        return {'config': name, 'synthetic_standin': ds.synthetic,
+                'source': ds.source}
+
+    monkeypatch.setattr(rb, 'measure', fake_measure)
+    rb.main(['mnist_k10', '--require-real'])
+    row = json.loads(capsys.readouterr().out.strip())
+    assert row['synthetic_standin'] is False
+    assert row['source'].startswith('npz:')
