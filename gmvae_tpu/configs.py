@@ -96,6 +96,15 @@ class Config:
     # get exact optax.adam unless they opt in.
     opt_state_dtype: str = 'float32'  # float32|bfloat16
     fused: bool = True                # Pallas fused ELBO head on TPU
+    # fused-head noise source: 'auto' (on-chip threefry on TPU, streamed
+    # 'xla' noise off-TPU — ops/kernels/fused_elbo.py resolution), or an
+    # explicit override. 'xla' streams draws BIT-EQUAL to the unfused
+    # oracle into the kernel, so fused-vs-oracle trained deltas measure
+    # ONLY kernel accumulation order, not draw-to-draw chaos — the
+    # matched-noise parity protocol (tools/parity_conv.py --matched-noise,
+    # VERDICT r3 #2). Not a perf knob: 'threefry' stays the TPU default
+    # (on-chip regeneration, zero noise residuals in the backward).
+    fused_noise: str = 'auto'         # auto|threefry|xla
     scan_steps: int = 1               # micro-steps per jitted outer step
 
     # parallelism: 1-D data mesh; -1 = all local devices. Slice-ready up to

@@ -63,11 +63,17 @@ def make_model(cfg: Config):
     if cfg.model_family != 'gmvae':
         raise ValueError(f'model_family must be gmvae|deep, '
                          f'got {cfg.model_family!r}')
+    if cfg.fused_noise not in ('auto', 'threefry', 'xla'):
+        raise ValueError(f'fused_noise must be auto|threefry|xla, '
+                         f'got {cfg.fused_noise!r}')
     head_fn = mixture_elbo_head
     if cfg.fused:
         from gmvae_tpu.ops.kernels import fused_elbo
         if fused_elbo.is_supported():
-            head_fn = fused_elbo.fused_mixture_elbo
+            head_fn = (fused_elbo.fused_mixture_elbo
+                       if cfg.fused_noise == 'auto' else functools.partial(
+                           fused_elbo.fused_mixture_elbo,
+                           noise_mode=cfg.fused_noise))
     return GMVAE(cfg, head_fn=head_fn)
 
 

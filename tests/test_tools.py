@@ -72,3 +72,27 @@ def test_main_row_carries_provenance(tmp_path, monkeypatch, capsys):
     row = json.loads(capsys.readouterr().out.strip())
     assert row['synthetic_standin'] is False
     assert row['source'].startswith('npz:')
+
+
+def test_parity_conv_matched_noise_flag(monkeypatch, capsys):
+    """--matched-noise runs the fused arm with fused_noise='xla' (the
+    oracle's exact draws streamed into the kernel) and stamps every row."""
+    import json
+    import parity_conv as pc
+
+    seen = []
+
+    def fake_measure(name, steps, n_eval, kw):
+        seen.append(kw)
+        return {'config': name, 'elbo_nats': -100.0, 'acc': 1.0, 'nmi': 1.0}
+
+    monkeypatch.setattr(pc, 'measure', fake_measure)
+    pc.main(['svhn_conv', '--matched-noise'])
+    assert seen == [{'fused': True, 'fused_noise': 'xla'}, {'fused': False}]
+    rows = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert all(r['matched_noise'] for r in rows)
+    assert rows[-1]['parity'] and rows[-1]['within_1pct']
+
+    seen.clear()
+    pc.main(['svhn_conv'])
+    assert seen == [{'fused': True}, {'fused': False}]

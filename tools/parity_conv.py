@@ -9,17 +9,28 @@ Comparison protocol (PERF.md "run-to-run ELBO repeatability"): trained ELBO
 is bit-deterministic per binary, but accumulation-order changes (kernel
 tiling, fused-vs-unfused reduction order, different noise streams) compound
 chaotically over a 10k-step run and drift trained ELBO by O(<1%) with
-unchanged ACC/NMI. The fused and unfused paths draw DIFFERENT (both
-correct) threefry noise streams, so this comparison measures exactly that
-chaotic-compounding band — the mnist r2 result was 0.019%. Both runs here
-share one binary and one seed; deltas are single-run, not seed-averaged
-(the bound is 1%; seed variance at these configs is documented in
-BASELINE.md's sweep table).
+unchanged ACC/NMI. In the DEFAULT protocol the fused and unfused paths draw
+DIFFERENT (both correct) threefry noise streams, so the comparison measures
+exactly that chaotic-compounding band — the mnist r2 result was 0.019%.
+Both runs here share one binary and one seed; deltas are single-run, not
+seed-averaged (the bound is 1%; seed variance at these configs is
+documented in BASELINE.md's sweep table).
+
+``--matched-noise`` switches the fused run to ``fused_noise='xla'``
+(VERDICT r3 #2): the SAME threefry draws the oracle makes are streamed
+into the kernel, so the two trajectories differ ONLY in kernel
+accumulation order — the delta is a hard bound on kernel arithmetic
+drift, with draw-to-draw chaos removed by construction. This is the
+protocol that can prove celeba (whose intra-path seed spread, 2.7-4.2%,
+exceeds the 1% band and makes different-draw deltas uninformative —
+PERF.md "fused-vs-oracle at conv scale").
 
     python tools/parity_conv.py                  # all three conv rows
     python tools/parity_conv.py svhn_conv
+    python tools/parity_conv.py --matched-noise  # isolate kernel arithmetic
 """
 
+import argparse
 import json
 import os
 import sys
@@ -36,10 +47,17 @@ PLAN = [
 ]
 
 
-def main() -> None:
+def main(argv=None) -> None:
     from gmvae_tpu.utils.compile_cache import enable_compile_cache
     enable_compile_cache()
-    which = sys.argv[1:] or [n for n, *_ in PLAN]
+    ap = argparse.ArgumentParser()
+    ap.add_argument('configs', nargs='*')
+    ap.add_argument('--matched-noise', action='store_true',
+                    help="fused run streams the oracle's exact noise draws "
+                         "into the kernel (fused_noise='xla'): the trained "
+                         'delta measures ONLY kernel accumulation order')
+    args = ap.parse_args(argv)
+    which = args.configs or [n for n, *_ in PLAN]
     known = {n for n, *_ in PLAN}
     if unknown := [w for w in which if w not in known]:
         raise SystemExit(f'unknown configs: {unknown}; this tool knows '
@@ -49,14 +67,19 @@ def main() -> None:
             continue
         rows = {}
         for fused in (True, False):
-            row = measure(name, steps, n_eval, {**kw, 'fused': fused})
+            run_kw = {**kw, 'fused': fused}
+            if fused and args.matched_noise:
+                run_kw['fused_noise'] = 'xla'
+            row = measure(name, steps, n_eval, run_kw)
             row['fused'] = fused
+            row['matched_noise'] = bool(args.matched_noise)
             print(json.dumps(row), flush=True)
             rows[fused] = row
         a, b = rows[True], rows[False]
         delta = abs(a['elbo_nats'] - b['elbo_nats']) / abs(b['elbo_nats'])
         print(json.dumps({
             'config': name, 'parity': True,
+            'matched_noise': bool(args.matched_noise),
             'elbo_fused': a['elbo_nats'], 'elbo_oracle': b['elbo_nats'],
             'elbo_rel_delta_pct': round(100 * delta, 4),
             'within_1pct': delta < 0.01,
