@@ -96,3 +96,50 @@ def test_parity_conv_matched_noise_flag(monkeypatch, capsys):
     seen.clear()
     pc.main(['svhn_conv'])
     assert seen == [{'fused': True}, {'fused': False}]
+
+
+def test_profile_attr_parses_device_xplane(tmp_path):
+    """parse_xplane + attribute on a synthesized TPU-shaped XSpace: op-line
+    selection (no double-booking the 'XLA Modules' wrapper), per-op
+    aggregation, category extraction, and the group rollup
+    (tools/profile_attr.py, VERDICT r3 #3)."""
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+    import profile_attr as pa
+
+    xs = xplane_pb2.XSpace()
+    plane = xs.planes.add(name='/device:TPU:0')
+    mods = plane.lines.add(name='XLA Modules')
+    ops = plane.lines.add(name='XLA Ops')
+    cat_md = plane.stat_metadata[1]
+    cat_md.id, cat_md.name = 1, 'hlo_category'
+
+    def add_op(mid, name, cat, dur_ps, n=1):
+        md = plane.event_metadata[mid]
+        md.id, md.name = mid, name
+        if cat:
+            st = md.stats.add(metadata_id=1)
+            st.str_value = cat
+        for _ in range(n):
+            ops.events.add(metadata_id=mid, duration_ps=dur_ps)
+
+    # module wrapper spans everything; must NOT be counted
+    wmd = plane.event_metadata[99]
+    wmd.id, wmd.name = 99, 'jit_train_chunk'
+    mods.events.add(metadata_id=99, duration_ps=10_000_000)
+
+    add_op(1, 'fusion.1', 'convolution', 3_000_000)
+    add_op(2, 'custom-call.2', '', 2_000_000)         # pallas head
+    add_op(3, 'all-reduce.3', 'all reduce', 1_000_000)
+    add_op(4, 'fusion.7', '', 500_000, n=4)           # generic fusion
+    f = tmp_path / 'train.xplane.pb'
+    f.write_bytes(xs.SerializeToString())
+    rows = pa.parse_xplane(str(f))
+    assert {r[2] for r in rows} == {'fusion.1', 'custom-call.2',
+                                    'all-reduce.3', 'fusion.7'}
+    agg = {r[2]: r for r in rows}
+    assert agg['fusion.7'][4:] == (2_000_000, 4)      # summed + counted
+    assert agg['fusion.1'][3] == 'convolution'
+    out = pa.attribute(rows, top=5)
+    assert out['total_device_us'] == 8.0
+    assert out['groups_pct'] == {'matmul': 37.5, 'head_kernel': 25.0,
+                                 'loop_fusion': 25.0, 'collectives': 12.5}

@@ -1,0 +1,197 @@
+"""Per-op attribution of the training step from an xplane profile.
+
+VERDICT r3 #3: the flagship step's ~108 us had ~70 us waved off as "fixed
+per-op overhead" — this tool replaces that assertion with a measured
+table. It traces a STEADY-STATE window (compile excluded: one untraced
+warmup chunk first) of a named config's real training loop, then parses
+the xplane protobuf into per-op durations aggregated by name, and rolls
+them up into named groups (head kernel, enc/dec matmuls, Adam chain,
+gather/binarize, collectives, infeed/outfeed, other).
+
+    python tools/profile_attr.py mnist_k10              # capture + attribute
+    python tools/profile_attr.py --parse /path/to/dir   # re-read a trace
+
+Output: one JSON line per op group (total device-time share), then a
+per-op table (--top N, default 25) on stderr for drill-down. Works on any
+backend — on TPU the device planes are '/device:TPU:*'; the CPU fallback
+parses the XLA-CPU executor line (used by the fixture test).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+import tempfile
+
+# op-name/category -> group rules, first match wins. TPU HLO events carry
+# the fused computation's name; jax preserves source function names inside
+# fusion display names often enough that these substrings attribute the
+# big items (refine against the real trace's leftover 'other' share).
+GROUP_RULES = [
+    ('head_kernel', ('fused_elbo', 'tpu_custom_call', 'custom-call')),
+    ('collectives', ('all-reduce', 'all-gather', 'reduce-scatter',
+                     'collective', 'psum')),
+    ('data_gather', ('gather', 'dynamic-slice', 'iota_and_compare',
+                     'binarize', 'dynamic-update-slice')),
+    ('matmul', ('dot', 'convolution', 'conv')),
+    ('infeed_outfeed', ('infeed', 'outfeed', 'host')),
+    ('copy_reshape', ('copy', 'transpose', 'reshape', 'bitcast', 'pad')),
+    ('loop_fusion', ('fusion', 'loop')),
+]
+
+
+def classify(name: str, category: str) -> str:
+    hay = f'{name} {category}'.lower()
+    for group, needles in GROUP_RULES:
+        if any(n in hay for n in needles):
+            return group
+    return 'other'
+
+
+def parse_xplane(path: str):
+    """Yield (plane, line, op_name, category, total_ps, count) aggregates.
+
+    ``path``: a trace logdir (searched recursively for ``*.xplane.pb``)
+    or a single xplane file. Only DEVICE planes count — host/python lines
+    would double-book the dispatch time the device view already shows as
+    gaps. Off-TPU, the XLA-CPU executor line stands in for the device.
+    """
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2  # lazy: heavy
+
+    files = ([path] if path.endswith('.xplane.pb') else
+             sorted(glob.glob(os.path.join(path, '**', '*.xplane.pb'),
+                              recursive=True)))
+    if not files:
+        raise SystemExit(f'no *.xplane.pb under {path!r}')
+    rows = []
+    for f in files:
+        xs = xplane_pb2.XSpace()
+        with open(f, 'rb') as fh:
+            xs.ParseFromString(fh.read())
+        for plane in xs.planes:
+            is_device = plane.name.startswith('/device:')
+            # device planes carry several views of the same wall-clock
+            # ('XLA Modules' wraps the ops the 'XLA Ops' line itemizes) —
+            # take only the op-level line when it exists or shares would
+            # double-book
+            op_lines = [ln for ln in plane.lines if 'XLA Ops' in ln.name]
+            lines = op_lines or plane.lines
+            # CPU fallback: the XLA:CPU client line ('tf_XLAPjRtCpuClient/…')
+            # carries executed-op events with real durations (the executor /
+            # codegen lines are runtime scheduling noise, not op time)
+            for line in lines:
+                if not (is_device or
+                        line.name.startswith('tf_XLAPjRtCpuClient')):
+                    continue
+                agg = {}
+                for ev in line.events:
+                    md = plane.event_metadata[ev.metadata_id]
+                    name = md.display_name or md.name
+                    if name.startswith('end: '):
+                        continue  # CPU client emits begin/end event pairs
+                    if name.startswith(('ThunkExecutor', 'Rendezvous',
+                                        'TaskDispatcher', 'FusionCompiler')):
+                        continue  # runtime scheduling frames, not op time
+                    cat = ''
+                    for st in list(ev.stats) + list(md.stats):
+                        smd = plane.stat_metadata[st.metadata_id]
+                        if smd.name in ('hlo_category', 'category',
+                                        'equation'):
+                            cat = (st.str_value or
+                                   plane.stat_metadata.get(
+                                       st.ref_value,
+                                       xplane_pb2.XStatMetadata()).name)
+                            break
+                    tot, cnt = agg.get((name, cat), (0, 0))
+                    agg[(name, cat)] = (tot + ev.duration_ps, cnt + 1)
+                for (name, cat), (tot, cnt) in agg.items():
+                    rows.append((plane.name, line.name, name, cat, tot, cnt))
+    return rows
+
+
+def attribute(rows, top: int = 25) -> dict:
+    """Group rollup + stderr per-op table from parse_xplane() rows."""
+    total = sum(r[4] for r in rows) or 1
+    groups = {}
+    for _, _, name, cat, tot, _ in rows:
+        g = classify(name, cat)
+        groups[g] = groups.get(g, 0) + tot
+    table = sorted(rows, key=lambda r: -r[4])[:top]
+    print(f'{"op":60.60} {"category":20.20} {"us":>10} {"n":>6} {"share":>7}',
+          file=sys.stderr)
+    for _, _, name, cat, tot, cnt in table:
+        print(f'{name:60.60} {cat:20.20} {tot / 1e6:10.1f} {cnt:6d} '
+              f'{100 * tot / total:6.2f}%', file=sys.stderr)
+    return {
+        'total_device_us': round(total / 1e6, 1),
+        'groups_pct': {g: round(100 * t / total, 2)
+                       for g, t in sorted(groups.items(),
+                                          key=lambda kv: -kv[1])},
+    }
+
+
+def capture(config_name: str, logdir: str, chunks: int = 5,
+            overrides: dict | None = None) -> str:
+    """Trace ``chunks`` steady-state training chunks of a named config.
+
+    Chunk 0 (compile + first execution) runs OUTSIDE the trace; a scalar
+    fetch fences it (the only true sync on the axon platform) before the
+    trace opens, and another fence inside the trace closes the window —
+    so the capture is pure steady-state device work.
+    """
+    import jax
+    import numpy as np
+
+    from gmvae_tpu import configs
+    from gmvae_tpu import training as train_lib
+    from gmvae_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+    cfg = configs.get_config(config_name, **(overrides or {})).replace(
+        eval_every=10**9, ckpt_every=0)
+    if cfg.scan_steps < 50:
+        cfg = cfg.replace(scan_steps=50)
+    steps = cfg.scan_steps * (chunks + 1)
+    trainer = train_lib.Trainer(cfg)
+    state = trainer.init_state()
+    it = trainer.iter_chunk_plans(0, steps)
+    s, idx = next(it)
+    state, m = trainer.run_chunk(state, idx)
+    float(np.asarray(m['elbo'][-1]))              # compile fence
+    with jax.profiler.trace(logdir):
+        for s, idx in it:
+            state, m = trainer.run_chunk(state, idx)
+        float(np.asarray(m['elbo'][-1]))          # in-trace closing fence
+    return logdir
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument('config', nargs='?', default='mnist_k10')
+    ap.add_argument('--parse', metavar='PATH', default=None,
+                    help='skip capture; attribute an existing trace')
+    ap.add_argument('--logdir', default=None)
+    ap.add_argument('--chunks', type=int, default=5)
+    ap.add_argument('--top', type=int, default=25)
+    ap.add_argument('--set', dest='overrides', action='append', default=[],
+                    metavar='key=value')
+    args = ap.parse_args(argv)
+    if args.parse:
+        path = args.parse
+    else:
+        from gmvae_tpu import configs
+        path = capture(args.config,
+                       args.logdir or tempfile.mkdtemp(prefix='xprof_'),
+                       chunks=args.chunks,
+                       overrides=configs.parse_overrides(args.overrides))
+        print(f'trace: {path}', file=sys.stderr)
+    out = attribute(parse_xplane(path), top=args.top)
+    out['config'] = None if args.parse else args.config
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == '__main__':
+    main()
