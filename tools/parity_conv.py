@@ -25,7 +25,7 @@ protocol that can prove celeba (whose intra-path seed spread, 2.7-4.2%,
 exceeds the 1% band and makes different-draw deltas uninformative —
 PERF.md "fused-vs-oracle at conv scale").
 
-    python tools/parity_conv.py                  # all three conv rows
+    python tools/parity_conv.py                  # all rows (mnist + conv)
     python tools/parity_conv.py svhn_conv
     python tools/parity_conv.py --matched-noise  # isolate kernel arithmetic
 """
@@ -39,8 +39,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from reproduce_baselines import measure  # noqa: E402
 
 # (config, steps, eval_examples, kwargs) — same shapes as the BASELINE.md
-# reproduction rows
+# reproduction rows. mnist_k10 is here for the matched-noise protocol
+# (every config FAMILY needs a matched-noise number, not just conv); its
+# different-draw parity was already recorded in r2 (0.019%).
 PLAN = [
+    ('mnist_k10', 20_000, 10_000, {}),
     ('svhn_conv', 10_000, 10_000, {}),
     ('cifar_k20', 10_000, 10_000, {}),
     ('celeba_dp16', 2_000, 2_048, {'batch_size': 256, 'scan_steps': 100}),
