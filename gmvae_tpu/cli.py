@@ -192,6 +192,7 @@ def main(argv=None) -> int:
                 # claim the Pallas head on hosts where it isn't supported)
                 'fused_head': (getattr(model, 'head_fn', mixture_elbo_head)
                                is not mixture_elbo_head),
+                'fused_noise': cfg.fused_noise,
                 'data_placement': cfg.data_placement,
                 'data_sharding': cfg.data_sharding,
             }))
