@@ -113,12 +113,18 @@ def test_profile_attr_parses_device_xplane(tmp_path):
     cat_md = plane.stat_metadata[1]
     cat_md.id, cat_md.name = 1, 'hlo_category'
 
-    def add_op(mid, name, cat, dur_ps, n=1):
+    tf_md = plane.stat_metadata[2]
+    tf_md.id, tf_md.name = 2, 'tf_op'
+
+    def add_op(mid, name, cat, dur_ps, n=1, prov=''):
         md = plane.event_metadata[mid]
         md.id, md.name = mid, name
         if cat:
             st = md.stats.add(metadata_id=1)
             st.str_value = cat
+        if prov:
+            st = md.stats.add(metadata_id=2)
+            st.str_value = prov
         for _ in range(n):
             ops.events.add(metadata_id=mid, duration_ps=dur_ps)
 
@@ -130,16 +136,22 @@ def test_profile_attr_parses_device_xplane(tmp_path):
     add_op(1, 'fusion.1', 'convolution', 3_000_000)
     add_op(2, 'custom-call.2', '', 2_000_000)         # pallas head
     add_op(3, 'all-reduce.3', 'all reduce', 1_000_000)
-    add_op(4, 'fusion.7', '', 500_000, n=4)           # generic fusion
+    add_op(4, 'fusion.7', '', 500_000, n=2)           # generic fusion
+    # provenance (jax scoped op name) must split optimizer fusions out of
+    # the generic-fusion bucket
+    add_op(5, 'fusion.9', '', 500_000, n=2,
+           prov='jit(chunk)/adam/update_moment')
     f = tmp_path / 'train.xplane.pb'
     f.write_bytes(xs.SerializeToString())
     rows = pa.parse_xplane(str(f))
     assert {r[2] for r in rows} == {'fusion.1', 'custom-call.2',
-                                    'all-reduce.3', 'fusion.7'}
+                                    'all-reduce.3', 'fusion.7', 'fusion.9'}
     agg = {r[2]: r for r in rows}
-    assert agg['fusion.7'][4:] == (2_000_000, 4)      # summed + counted
+    assert agg['fusion.7'][5:] == (1_000_000, 2)      # summed + counted
     assert agg['fusion.1'][3] == 'convolution'
+    assert agg['fusion.9'][4] == 'jit(chunk)/adam/update_moment'
     out = pa.attribute(rows, top=5)
     assert out['total_device_us'] == 8.0
     assert out['groups_pct'] == {'matmul': 37.5, 'head_kernel': 25.0,
-                                 'loop_fusion': 25.0, 'collectives': 12.5}
+                                 'optimizer': 12.5, 'loop_fusion': 12.5,
+                                 'collectives': 12.5}

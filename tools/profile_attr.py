@@ -32,19 +32,22 @@ import tempfile
 # big items (refine against the real trace's leftover 'other' share).
 GROUP_RULES = [
     ('head_kernel', ('fused_elbo', 'tpu_custom_call', 'custom-call')),
+    ('optimizer', ('adam', 'scale_by', 'update_moment', 'bias_correction',
+                   'apply_updates', 'clip_by', 'opt_update')),
     ('collectives', ('all-reduce', 'all-gather', 'reduce-scatter',
                      'collective', 'psum')),
-    ('data_gather', ('gather', 'dynamic-slice', 'iota_and_compare',
-                     'binarize', 'dynamic-update-slice')),
-    ('matmul', ('dot', 'convolution', 'conv')),
+    ('data_gather', ('gather', 'dynamic-slice', 'binarize', 'preprocess',
+                     'dynamic-update-slice', 'threefry', 'random_bits',
+                     'iota_and_compare')),
+    ('matmul', ('dot', 'convolution', 'conv', 'dense')),
     ('infeed_outfeed', ('infeed', 'outfeed', 'host')),
     ('copy_reshape', ('copy', 'transpose', 'reshape', 'bitcast', 'pad')),
     ('loop_fusion', ('fusion', 'loop')),
 ]
 
 
-def classify(name: str, category: str) -> str:
-    hay = f'{name} {category}'.lower()
+def classify(name: str, category: str, provenance: str = '') -> str:
+    hay = f'{name} {category} {provenance}'.lower()
     for group, needles in GROUP_RULES:
         if any(n in hay for n in needles):
             return group
@@ -95,35 +98,43 @@ def parse_xplane(path: str):
                     if name.startswith(('ThunkExecutor', 'Rendezvous',
                                         'TaskDispatcher', 'FusionCompiler')):
                         continue  # runtime scheduling frames, not op time
-                    cat = ''
+                    cat = prov = ''
                     for st in list(ev.stats) + list(md.stats):
                         smd = plane.stat_metadata[st.metadata_id]
+                        val = (st.str_value or plane.stat_metadata.get(
+                            st.ref_value, xplane_pb2.XStatMetadata()).name)
                         if smd.name in ('hlo_category', 'category',
-                                        'equation'):
-                            cat = (st.str_value or
-                                   plane.stat_metadata.get(
-                                       st.ref_value,
-                                       xplane_pb2.XStatMetadata()).name)
-                            break
-                    tot, cnt = agg.get((name, cat), (0, 0))
-                    agg[(name, cat)] = (tot + ev.duration_ps, cnt + 1)
-                for (name, cat), (tot, cnt) in agg.items():
-                    rows.append((plane.name, line.name, name, cat, tot, cnt))
+                                        'equation') and not cat:
+                            cat = val
+                        # jax scoped op names ('jit(chunk)/.../adam/...')
+                        # ride the tf_op/source stats on TPU — the only
+                        # signal that splits e.g. Adam fusions from
+                        # encoder-matmul fusions
+                        elif smd.name in ('tf_op', 'source', 'source_info',
+                                          'provenance') and not prov:
+                            prov = val
+                    k = (name, cat, prov)
+                    tot, cnt = agg.get(k, (0, 0))
+                    agg[k] = (tot + ev.duration_ps, cnt + 1)
+                for (name, cat, prov), (tot, cnt) in agg.items():
+                    rows.append((plane.name, line.name, name, cat, prov,
+                                 tot, cnt))
     return rows
 
 
 def attribute(rows, top: int = 25) -> dict:
     """Group rollup + stderr per-op table from parse_xplane() rows."""
-    total = sum(r[4] for r in rows) or 1
+    total = sum(r[5] for r in rows) or 1
     groups = {}
-    for _, _, name, cat, tot, _ in rows:
-        g = classify(name, cat)
+    for _, _, name, cat, prov, tot, _ in rows:
+        g = classify(name, cat, prov)
         groups[g] = groups.get(g, 0) + tot
-    table = sorted(rows, key=lambda r: -r[4])[:top]
-    print(f'{"op":60.60} {"category":20.20} {"us":>10} {"n":>6} {"share":>7}',
-          file=sys.stderr)
-    for _, _, name, cat, tot, cnt in table:
-        print(f'{name:60.60} {cat:20.20} {tot / 1e6:10.1f} {cnt:6d} '
+    table = sorted(rows, key=lambda r: -r[5])[:top]
+    print(f'{"op":44.44} {"category":14.14} {"provenance":30.30} '
+          f'{"us":>10} {"n":>6} {"share":>7}', file=sys.stderr)
+    for _, _, name, cat, prov, tot, cnt in table:
+        print(f'{name:44.44} {cat:14.14} {prov[-30:]:30.30} '
+              f'{tot / 1e6:10.1f} {cnt:6d} '
               f'{100 * tot / total:6.2f}%', file=sys.stderr)
     return {
         'total_device_us': round(total / 1e6, 1),
