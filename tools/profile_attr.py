@@ -122,8 +122,12 @@ def parse_xplane(path: str):
     return rows
 
 
-def attribute(rows, top: int = 25) -> dict:
-    """Group rollup + stderr per-op table from parse_xplane() rows."""
+def attribute(rows, top: int = 25, steps: int | None = None) -> dict:
+    """Group rollup + stderr per-op table from parse_xplane() rows.
+
+    With ``steps`` (number of training steps inside the traced window),
+    each group also gets a per-step microsecond cost — the exact shape the
+    PERF.md step-decomposition tables use."""
     total = sum(r[5] for r in rows) or 1
     groups = {}
     for _, _, name, cat, prov, tot, _ in rows:
@@ -136,12 +140,18 @@ def attribute(rows, top: int = 25) -> dict:
         print(f'{name:44.44} {cat:14.14} {prov[-30:]:30.30} '
               f'{tot / 1e6:10.1f} {cnt:6d} '
               f'{100 * tot / total:6.2f}%', file=sys.stderr)
-    return {
+    out = {
         'total_device_us': round(total / 1e6, 1),
         'groups_pct': {g: round(100 * t / total, 2)
                        for g, t in sorted(groups.items(),
                                           key=lambda kv: -kv[1])},
     }
+    if steps:
+        out['steps'] = steps
+        out['groups_us_per_step'] = {
+            g: round(t / 1e6 / steps, 2)
+            for g, t in sorted(groups.items(), key=lambda kv: -kv[1])}
+    return out
 
 
 def capture(config_name: str, logdir: str, chunks: int = 5,
@@ -173,10 +183,12 @@ def capture(config_name: str, logdir: str, chunks: int = 5,
     state, m = trainer.run_chunk(state, idx)
     float(np.asarray(m['elbo'][-1]))              # compile fence
     with jax.profiler.trace(logdir):
+        traced = 0
         for s, idx in it:
             state, m = trainer.run_chunk(state, idx)
+            traced += s
         float(np.asarray(m['elbo'][-1]))          # in-trace closing fence
-    return logdir
+    return logdir, traced
 
 
 def main(argv=None) -> None:
@@ -187,19 +199,23 @@ def main(argv=None) -> None:
     ap.add_argument('--logdir', default=None)
     ap.add_argument('--chunks', type=int, default=5)
     ap.add_argument('--top', type=int, default=25)
+    ap.add_argument('--steps', type=int, default=None,
+                    help='with --parse: steps inside the traced window, '
+                         'for the per-step us rollup')
     ap.add_argument('--set', dest='overrides', action='append', default=[],
                     metavar='key=value')
     args = ap.parse_args(argv)
+    steps = args.steps
     if args.parse:
         path = args.parse
     else:
         from gmvae_tpu import configs
-        path = capture(args.config,
-                       args.logdir or tempfile.mkdtemp(prefix='xprof_'),
-                       chunks=args.chunks,
-                       overrides=configs.parse_overrides(args.overrides))
+        path, steps = capture(
+            args.config, args.logdir or tempfile.mkdtemp(prefix='xprof_'),
+            chunks=args.chunks,
+            overrides=configs.parse_overrides(args.overrides))
         print(f'trace: {path}', file=sys.stderr)
-    out = attribute(parse_xplane(path), top=args.top)
+    out = attribute(parse_xplane(path), top=args.top, steps=steps)
     out['config'] = None if args.parse else args.config
     print(json.dumps(out), flush=True)
 
