@@ -147,7 +147,7 @@ def test_profile_attr_parses_device_xplane(tmp_path):
     assert {r[2] for r in rows} == {'fusion.1', 'custom-call.2',
                                     'all-reduce.3', 'fusion.7', 'fusion.9'}
     agg = {r[2]: r for r in rows}
-    assert agg['fusion.7'][5:] == (1_000_000, 2)      # summed + counted
+    assert agg['fusion.7'][5:7] == (1_000_000, 2)     # summed + counted
     assert agg['fusion.1'][3] == 'convolution'
     assert agg['fusion.9'][4] == 'jit(chunk)/adam/update_moment'
     out = pa.attribute(rows, top=5)
@@ -155,3 +155,50 @@ def test_profile_attr_parses_device_xplane(tmp_path):
     assert out['groups_pct'] == {'matmul': 37.5, 'head_kernel': 25.0,
                                  'optimizer': 12.5, 'loop_fusion': 12.5,
                                  'collectives': 12.5}
+    assert 'envelope_us' not in out and 'async_spans' not in out
+
+
+def test_profile_attr_envelope_and_async_accounting(tmp_path):
+    """TPU traces carry three event kinds that must not be summed together
+    (first real v5e capture: 339 ms of overlapped DMA spans inside a 47 ms
+    loop): async copy spans are split out, the while envelope is the
+    per-step denominator, and the itemization shortfall becomes the
+    'unattributed' group (tools/profile_attr.py, VERDICT r3 #3)."""
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+    import profile_attr as pa
+
+    xs = xplane_pb2.XSpace()
+    plane = xs.planes.add(name='/device:TPU:0')
+    ops = plane.lines.add(name='XLA Ops')
+    cat_md = plane.stat_metadata[1]
+    cat_md.id, cat_md.name = 1, 'hlo_category'
+
+    def add_op(mid, name, cat, dur_ps, n=1):
+        md = plane.event_metadata[mid]
+        md.id, md.name = mid, name
+        if cat:
+            st = md.stats.add(metadata_id=1)
+            st.str_value = cat
+        for _ in range(n):
+            ops.events.add(metadata_id=mid, duration_ps=dur_ps)
+
+    # 10-step while envelope of 100 us; 60 us of itemized body ops; an
+    # overlapped 500 us DMA span that must NOT enter the group sums
+    add_op(1, 'while.5', 'while', 100_000_000)
+    add_op(2, 'fusion.1', 'convolution', 4_000_000, n=10)
+    add_op(3, 'custom-call.2', '', 2_000_000, n=10)
+    add_op(4, 'async-copy', 'copy-start', 500_000_000)
+    f = tmp_path / 'train.xplane.pb'
+    f.write_bytes(xs.SerializeToString())
+    out = pa.attribute(pa.parse_xplane(str(f)), top=5, steps=10)
+    assert out['envelope_us'] == 100.0
+    assert out['envelope_us_per_step'] == 10.0
+    assert out['total_device_us'] == 60.0             # body only
+    assert out['async_spans'] == {'us': 500.0, 'events': 1,
+                                  'overlapped': True}
+    # shares are of the envelope; shortfall -> unattributed
+    assert out['groups_pct'] == {'matmul': 40.0, 'unattributed': 40.0,
+                                 'head_kernel': 20.0}
+    assert out['groups_us_per_step'] == {'matmul': 4.0,
+                                         'unattributed': 4.0,
+                                         'head_kernel': 2.0}

@@ -15,6 +15,23 @@ Output: one JSON line per op group (total device-time share), then a
 per-op table (--top N, default 25) on stderr for drill-down. Works on any
 backend — on TPU the device planes are '/device:TPU:*'; the CPU fallback
 parses the XLA-CPU executor line (used by the fixture test).
+
+Accounting (learned from the first real v5e capture): a TPU op line is
+NOT flat — three event kinds would wildly over-count if summed naively:
+
+- **async spans** (categories ``copy-start``/``async-start``): DMA windows
+  whose duration runs from issue to completion and OVERLAPS the compute
+  executing underneath (the first capture had 339 ms of ``async-copy``
+  spans inside 47 ms of actual loop). Reported separately as
+  ``async_spans`` (overlapped, not additive).
+- **the ``while`` envelope**: the scan loop op spans every op inside it.
+  It is the true step envelope — per-step device time = while total /
+  steps — and is reported as ``envelope_us_per_step``, never summed with
+  its own body.
+- **body ops**: everything else; grouped via GROUP_RULES. When an
+  envelope exists, group shares are of the envelope and the shortfall
+  (envelope − itemized body) is the ``unattributed`` group: inter-op gaps,
+  sequencer overhead, and sync waits inside the loop.
 """
 
 from __future__ import annotations
@@ -46,12 +63,27 @@ GROUP_RULES = [
 ]
 
 
+ASYNC_CATS = ('copy-start', 'async-start')
+ENVELOPE_CATS = ('while', 'conditional')
+
+
 def classify(name: str, category: str, provenance: str = '') -> str:
     hay = f'{name} {category} {provenance}'.lower()
     for group, needles in GROUP_RULES:
         if any(n in hay for n in needles):
             return group
     return 'other'
+
+
+def event_kind(name: str, category: str) -> str:
+    """'async' (overlapped DMA span) / 'envelope' (loop op spanning its
+    body) / 'body' (real sequential device work)."""
+    cat = category.lower()
+    if cat in ASYNC_CATS or name.startswith(('async-', 'copy-start')):
+        return 'async'
+    if cat in ENVELOPE_CATS or name.split('.')[0] in ENVELOPE_CATS:
+        return 'envelope'
+    return 'body'
 
 
 def parse_xplane(path: str):
@@ -98,7 +130,7 @@ def parse_xplane(path: str):
                     if name.startswith(('ThunkExecutor', 'Rendezvous',
                                         'TaskDispatcher', 'FusionCompiler')):
                         continue  # runtime scheduling frames, not op time
-                    cat = prov = ''
+                    cat = prov = long = ''
                     for st in list(ev.stats) + list(md.stats):
                         smd = plane.stat_metadata[st.metadata_id]
                         val = (st.str_value or plane.stat_metadata.get(
@@ -113,44 +145,72 @@ def parse_xplane(path: str):
                         elif smd.name in ('tf_op', 'source', 'source_info',
                                           'provenance') and not prov:
                             prov = val
+                        # the HLO expression ('fusion.351 = fusion(...),
+                        # calls=...') — the drill-down handle for fusions
+                        # whose display name says nothing
+                        elif smd.name in ('long_name', 'hlo_text',
+                                          'expression') and not long:
+                            long = val
                     k = (name, cat, prov)
-                    tot, cnt = agg.get(k, (0, 0))
-                    agg[k] = (tot + ev.duration_ps, cnt + 1)
-                for (name, cat, prov), (tot, cnt) in agg.items():
+                    tot, cnt, _ = agg.get(k, (0, 0, ''))
+                    agg[k] = (tot + ev.duration_ps, cnt + 1, long or _)
+                for (name, cat, prov), (tot, cnt, long) in agg.items():
                     rows.append((plane.name, line.name, name, cat, prov,
-                                 tot, cnt))
+                                 tot, cnt, long))
     return rows
 
 
 def attribute(rows, top: int = 25, steps: int | None = None) -> dict:
     """Group rollup + stderr per-op table from parse_xplane() rows.
 
-    With ``steps`` (number of training steps inside the traced window),
-    each group also gets a per-step microsecond cost — the exact shape the
-    PERF.md step-decomposition tables use."""
-    total = sum(r[5] for r in rows) or 1
+    Async spans and the while envelope are split out of the group sums
+    (module docstring, "Accounting"); group shares are of the envelope
+    when one exists, with the itemization shortfall as 'unattributed'.
+    With ``steps`` (training steps inside the traced window) each group
+    also gets a per-step microsecond cost — the exact shape the PERF.md
+    step-decomposition tables use."""
+    body = [r for r in rows if event_kind(r[2], r[3]) == 'body']
+    envelope = sum(r[5] for r in rows
+                   if event_kind(r[2], r[3]) == 'envelope')
+    async_ps = sum(r[5] for r in rows if event_kind(r[2], r[3]) == 'async')
+    async_n = sum(r[6] for r in rows if event_kind(r[2], r[3]) == 'async')
+    body_total = sum(r[5] for r in body)
     groups = {}
-    for _, _, name, cat, prov, tot, _ in rows:
+    for _, _, name, cat, prov, tot, _, _ in body:
         g = classify(name, cat, prov)
         groups[g] = groups.get(g, 0) + tot
+    if envelope > body_total:
+        groups['unattributed'] = envelope - body_total
+    denom = max(envelope, body_total) or 1
     table = sorted(rows, key=lambda r: -r[5])[:top]
-    print(f'{"op":44.44} {"category":14.14} {"provenance":30.30} '
-          f'{"us":>10} {"n":>6} {"share":>7}', file=sys.stderr)
-    for _, _, name, cat, prov, tot, cnt in table:
-        print(f'{name:44.44} {cat:14.14} {prov[-30:]:30.30} '
+    print(f'{"op":44.44} {"kind":8.8} {"category":14.14} '
+          f'{"provenance":30.30} {"us":>10} {"n":>6} {"share":>7}',
+          file=sys.stderr)
+    for _, _, name, cat, prov, tot, cnt, long in table:
+        kind = event_kind(name, cat)
+        print(f'{name:44.44} {kind:8.8} {cat:14.14} {prov[-30:]:30.30} '
               f'{tot / 1e6:10.1f} {cnt:6d} '
-              f'{100 * tot / total:6.2f}%', file=sys.stderr)
+              f'{100 * tot / denom:6.2f}%', file=sys.stderr)
+        if long and kind == 'body':
+            print(f'    {long[:150]}', file=sys.stderr)
     out = {
-        'total_device_us': round(total / 1e6, 1),
-        'groups_pct': {g: round(100 * t / total, 2)
+        'total_device_us': round(body_total / 1e6, 1),
+        'groups_pct': {g: round(100 * t / denom, 2)
                        for g, t in sorted(groups.items(),
                                           key=lambda kv: -kv[1])},
     }
+    if envelope:
+        out['envelope_us'] = round(envelope / 1e6, 1)
+    if async_ps:
+        out['async_spans'] = {'us': round(async_ps / 1e6, 1),
+                              'events': async_n, 'overlapped': True}
     if steps:
         out['steps'] = steps
         out['groups_us_per_step'] = {
             g: round(t / 1e6 / steps, 2)
             for g, t in sorted(groups.items(), key=lambda kv: -kv[1])}
+        if envelope:
+            out['envelope_us_per_step'] = round(envelope / 1e6 / steps, 2)
     return out
 
 
