@@ -7,8 +7,48 @@ hot loop never touches the host.
 
 from __future__ import annotations
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
+
+
+def packed_width(image_shape) -> int:
+    """int32 words per packed example row: ceil(prod(shape) / 4)."""
+    return -(-int(np.prod(image_shape)) // 4)
+
+
+def pack_rows(x_uint8: np.ndarray) -> np.ndarray:
+    """[N, *shape] uint8 -> [N, ceil(P/4)] int32, 4 bytes little-endian
+    per word (host-side, exact, zero-padded tail).
+
+    Why: a u8[N,28,28] image array tiles to T(8,128)(4,1) on TPU — every
+    784-byte example pads to a ~4 KB strided footprint, and the per-step
+    batch gather pays it per row (measured 33.9 us/step = 36% of the
+    flagship step, the single largest op — tools/profile_attr.py on a
+    real v5e trace). Packed int32 rows give the gather a flat lane-major
+    layout; ``unpack_rows`` restores the IDENTICAL bytes on device, so
+    training trajectories are bit-equal by construction
+    (tests/test_data.py)."""
+    n = x_uint8.shape[0]
+    flat = np.ascontiguousarray(x_uint8.reshape(n, -1))
+    pad = (-flat.shape[1]) % 4
+    if pad:
+        flat = np.pad(flat, ((0, 0), (0, pad)))
+    # explicit little-endian: the on-device unpack shifts by (0,8,16,24)
+    return flat.view('<i4')
+
+
+def unpack_rows(w: jax.Array, image_shape) -> jax.Array:
+    """int32 [..., W] packed rows -> uint8 [..., *shape]; exact inverse of
+    ``pack_rows`` (jittable; fuses into the preprocess that follows)."""
+    p = int(np.prod(image_shape))
+    shifts = jnp.array([0, 8, 16, 24], dtype=jnp.int32)
+    # arithmetic shift + 0xFF mask recovers each byte exactly (the mask
+    # discards sign-extension bits)
+    b = (w[..., None] >> shifts) & 0xFF
+    b = b.astype(jnp.uint8).reshape(*w.shape[:-1], w.shape[-1] * 4)
+    return b[..., :p].reshape(*w.shape[:-1], *image_shape)
 
 
 def normalize_image(x_uint8: jax.Array) -> jax.Array:

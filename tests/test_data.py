@@ -530,3 +530,38 @@ def test_dataset_source_provenance(tmp_path):
 
     syn = data_lib.load('synthetic_hard')
     assert syn.source == 'synthetic:seed=77'
+
+
+def test_pack_unpack_rows_bit_exact():
+    """pack_rows/unpack_rows is an exact byte roundtrip for every shape
+    class we ship (P%4 == 0 and != 0), and gathering packed rows then
+    unpacking equals gathering the original u8 rows — the property that
+    makes the packed-gather data path trajectory-preserving
+    (gmvae_tpu/data/preprocess.py)."""
+    from gmvae_tpu.data import preprocess as pp
+
+    rng = np.random.default_rng(3)
+    for shape in [(28, 28, 1), (32, 32, 3), (8, 8, 1), (5, 3, 1), (7,)]:
+        x = rng.integers(0, 256, size=(40, *shape), dtype=np.uint8)
+        w = pp.pack_rows(x)
+        assert w.dtype == np.int32
+        assert w.shape == (40, pp.packed_width(shape))
+        back = np.asarray(pp.unpack_rows(jnp.asarray(w), shape))
+        np.testing.assert_array_equal(back, x)
+        # gather-then-unpack == unpack-then-gather == original rows
+        idx = jnp.asarray(rng.integers(0, 40, size=17, dtype=np.int32))
+        got = np.asarray(pp.unpack_rows(jnp.asarray(w)[idx], shape))
+        np.testing.assert_array_equal(got, x[np.asarray(idx)])
+
+
+def test_unpack_rows_jits_and_fuses_shapes():
+    """unpack_rows under jit with a leading scan-batch dim (the exact
+    shape the train-chunk body sees) and high-bit bytes (sign-extension
+    masking correctness for values >= 0x80 in the top byte)."""
+    from gmvae_tpu.data import preprocess as pp
+
+    x = np.full((4, 28, 28, 1), 255, dtype=np.uint8)
+    x[0, 0, 0, 0] = 0x80
+    w = jnp.asarray(pp.pack_rows(x))
+    out = jax.jit(lambda a: pp.unpack_rows(a, (28, 28, 1)))(w)
+    np.testing.assert_array_equal(np.asarray(out), x)
