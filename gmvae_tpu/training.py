@@ -259,10 +259,24 @@ def make_train_chunk(model: GMVAE, cfg: Config, mesh,
 
     Args of the returned fn:
       state:    replicated TrainState
-      x_all:    replicated device-resident uint8 dataset [N, H, W, C]
+      x_all:    device-resident uint8 dataset — image rows [N, H, W, C] or
+                flat rows [N, P] (either layout; the body reshapes after
+                the gather, an identity for image-shaped sources)
       idx:      [S, B_global] int32 batch plan, sharded over the batch axis
       base_key: replicated PRNG key
     Returns (state, metrics dict of [S] arrays).
+
+    Why flat rows are the layout Trainer stages: XLA tiles an image-shaped
+    u8[N,28,28,1] source T(8,128)(4,1), padding every 784-byte example to
+    a ~4 KB strided tile footprint that the per-step batch gather pays per
+    row — profile attribution measured that ONE gather fusion at
+    33.9 us/step = 36% of the flagship's 93.7 us while-envelope, the
+    step's single largest op (tools/profile_attr.py, PERF.md r4). Flat
+    lane-major rows gather ~26% faster (tools/bench_gather.py, checksum-
+    proved identical bytes); the post-gather reshape restores the exact
+    bytes the preprocess saw before, so trajectories are bit-identical by
+    construction (tests/test_dp.py::test_flat_dataset_layout_bit_equal) —
+    and for the MLP families the model's own flatten cancels the reshape.
 
     ``check_vma`` (shard_map's static replication checker) is ON by
     default: the Pallas head declares its outputs' varying-across-mesh
@@ -276,7 +290,9 @@ def make_train_chunk(model: GMVAE, cfg: Config, mesh,
 
     def chunk(state, x_all, idx, base_key):
         def body(st, idx_row):
-            return step_fn(st, x_all[idx_row], base_key)
+            rows = x_all[idx_row]
+            batch = rows.reshape(rows.shape[0], *cfg.image_shape)
+            return step_fn(st, batch, base_key)
         return jax.lax.scan(body, state, idx)
 
     # 'sharded': each shard_map block sees only its dataset partition and
@@ -476,17 +492,20 @@ class Trainer:
             return
         self.train_chunk = make_train_chunk(self.model, cfg, self.mesh, self.tx)
         # device-resident training images (uint8: 4x smaller than f32 in
-        # HBM). 'replicated': full copy per device via put_global (multi-
-        # host-safe, SURVEY.md §5.8). 'sharded': partitioned over the data
-        # axis — 1/n_dp HBM per chip, each shard samples its own partition.
+        # HBM), staged as FLAT [N, P] rows — the gather-layout fast path
+        # (make_train_chunk docstring; the chunk body restores image shape
+        # after the gather, bit-identically). 'replicated': full copy per
+        # device via put_global (multi-host-safe, SURVEY.md §5.8).
+        # 'sharded': partitioned over the data axis — 1/n_dp HBM per chip,
+        # each shard samples its own partition.
+        flat = np.asarray(self.dataset.train_x)
+        flat = flat.reshape(flat.shape[0], -1)
         if cfg.data_sharding == 'sharded':
-            xs, _ = pad_to_multiple(np.asarray(self.dataset.train_x),
-                                    self.n_dp)
+            xs, _ = pad_to_multiple(flat, self.n_dp)
             self.x_all = mesh_lib.put_sharded(self.mesh, xs)
             self.n_local = xs.shape[0] // self.n_dp
         else:
-            self.x_all = mesh_lib.put_global(self.mesh, P(),
-                                             self.dataset.train_x)
+            self.x_all = mesh_lib.put_global(self.mesh, P(), flat)
             self.n_local = int(self.x_all.shape[0])
 
     # -- state ----------------------------------------------------------

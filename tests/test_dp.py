@@ -240,3 +240,59 @@ def test_celeba_pod_config_structure_runs_on_virtual_mesh():
     ev = trainer.evaluate(state, max_examples=32)
     assert np.isfinite(ev['elbo_nats'])
     assert set(ev) >= {'elbo_nats', 'iwae_nats', 'acc', 'nmi'}
+
+
+def test_flat_dataset_layout_bit_equal(setup):
+    """make_train_chunk accepts the dataset in EITHER layout — image rows
+    [N,H,W,C] (what tests and the multihost worker hand it directly) or
+    flat rows [N,P] (what Trainer stages: on TPU a u8[N,28,28,1] source
+    tiles to T(8,128)(4,1), padding every 784-byte example to a ~4 KB
+    strided tile that the per-step batch gather pays per row — measured
+    33.9 us/step = 36% of the flagship while-envelope, the step's single
+    largest op; flat rows gathered 26% faster in tools/bench_gather.py).
+    The body's post-gather reshape restores identical bytes, so the two
+    layouts must produce bit-identical trajectories."""
+    cfg, model, tx, fresh, ds = setup
+    mesh = mesh_lib.make_mesh(dp_devices=N_DEV,
+                              devices=jax.devices()[:N_DEV])
+    base_key = jax.random.PRNGKey(9)
+    rng = np.random.default_rng(5)
+    idx = rng.integers(0, ds.train_x.shape[0],
+                       size=(3, cfg.batch_size)).astype(np.int32)
+    idx_dev = jax.device_put(jnp.asarray(idx),
+                             NamedSharding(mesh, P(None, mesh_lib.DATA_AXIS)))
+    chunk = train_lib.make_train_chunk(model, cfg, mesh, tx)
+
+    outs = {}
+    for layout in ('image', 'flat'):
+        xs = np.asarray(ds.train_x)
+        if layout == 'flat':
+            xs = xs.reshape(xs.shape[0], -1)
+        x_all = jax.device_put(jnp.asarray(xs), mesh_lib.replicated(mesh))
+        state = train_lib.TrainState(fresh(), tx.init(fresh()), jnp.int32(0))
+        state = jax.device_put(state, mesh_lib.replicated(mesh))
+        outs[layout] = chunk(state, x_all, idx_dev, base_key)
+
+    si, sf = outs['image'][0], outs['flat'][0]
+    for a, b in zip(jax.tree.leaves(si.params), jax.tree.leaves(sf.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(outs['image'][1]['elbo']),
+                                  np.asarray(outs['flat'][1]['elbo']))
+
+
+def test_trainer_stages_dataset_flat(setup):
+    """Trainer's device placement stages x_all as flat [N, P] uint8 rows in
+    BOTH data_sharding modes (the gather-layout fast path above), while
+    n_local and the sharding spec are unchanged."""
+    cfg, model, tx, fresh, ds = setup
+    tr = train_lib.Trainer(cfg, ds)
+    assert tr.x_all.ndim == 2
+    assert tr.x_all.shape == (ds.train_x.shape[0],
+                              int(np.prod(cfg.image_shape)))
+    assert tr.x_all.dtype == jnp.uint8
+
+    cfg_sh = configs.synthetic_tiny(batch_size=64, data_sharding='sharded')
+    tr2 = train_lib.Trainer(cfg_sh, ds)
+    assert tr2.x_all.ndim == 2
+    assert tr2.x_all.sharding.spec == P(mesh_lib.DATA_AXIS)
+    assert tr2.n_local == tr2.x_all.shape[0] // tr2.n_dp
