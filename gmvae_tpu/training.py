@@ -266,7 +266,10 @@ def make_train_chunk(model: GMVAE, cfg: Config, mesh,
       base_key: replicated PRNG key
     Returns (state, metrics dict of [S] arrays).
 
-    Why flat rows are the layout Trainer stages: XLA tiles an image-shaped
+    Why flat rows are the layout Trainer stages for the MLP families
+    (conv archs keep image staging — their gather is ~2% of the step and
+    the post-gather relayout feeding the convs measured svhn −5.5%,
+    PERF.md r4): XLA tiles an image-shaped
     u8[N,28,28,1] source T(8,128)(4,1), padding every 784-byte example to
     a ~4 KB strided tile footprint that the per-step batch gather pays per
     row — profile attribution measured that ONE gather fusion at
@@ -492,20 +495,25 @@ class Trainer:
             return
         self.train_chunk = make_train_chunk(self.model, cfg, self.mesh, self.tx)
         # device-resident training images (uint8: 4x smaller than f32 in
-        # HBM), staged as FLAT [N, P] rows — the gather-layout fast path
-        # (make_train_chunk docstring; the chunk body restores image shape
-        # after the gather, bit-identically). 'replicated': full copy per
-        # device via put_global (multi-host-safe, SURVEY.md §5.8).
-        # 'sharded': partitioned over the data axis — 1/n_dp HBM per chip,
-        # each shard samples its own partition.
-        flat = np.asarray(self.dataset.train_x)
-        flat = flat.reshape(flat.shape[0], -1)
+        # HBM). MLP-family configs stage FLAT [N, P] rows — the gather-
+        # layout fast path (make_train_chunk docstring; the chunk body
+        # restores image shape after the gather, bit-identically; measured
+        # +34-65% across the MLP configs). Conv-family configs keep image-
+        # shaped staging: their gather is ~2% of the step and the post-
+        # gather relayout feeding the convs measured svhn −5% (cifar
+        # unchanged) — PERF.md round-4 attribution. 'replicated': full
+        # copy per device via put_global (multi-host-safe, SURVEY.md
+        # §5.8). 'sharded': partitioned over the data axis — 1/n_dp HBM
+        # per chip, each shard samples its own partition.
+        xs_host = np.asarray(self.dataset.train_x)
+        if cfg.arch == 'mlp':
+            xs_host = xs_host.reshape(xs_host.shape[0], -1)
         if cfg.data_sharding == 'sharded':
-            xs, _ = pad_to_multiple(flat, self.n_dp)
+            xs, _ = pad_to_multiple(xs_host, self.n_dp)
             self.x_all = mesh_lib.put_sharded(self.mesh, xs)
             self.n_local = xs.shape[0] // self.n_dp
         else:
-            self.x_all = mesh_lib.put_global(self.mesh, P(), flat)
+            self.x_all = mesh_lib.put_global(self.mesh, P(), xs_host)
             self.n_local = int(self.x_all.shape[0])
 
     # -- state ----------------------------------------------------------

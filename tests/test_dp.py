@@ -281,9 +281,12 @@ def test_flat_dataset_layout_bit_equal(setup):
 
 
 def test_trainer_stages_dataset_flat(setup):
-    """Trainer's device placement stages x_all as flat [N, P] uint8 rows in
-    BOTH data_sharding modes (the gather-layout fast path above), while
-    n_local and the sharding spec are unchanged."""
+    """Trainer's device placement stages x_all as flat [N, P] uint8 rows
+    for MLP-family configs in BOTH data_sharding modes (the gather-layout
+    fast path above; measured +34-65% across the MLP configs), while
+    n_local and the sharding spec are unchanged. Conv-family configs keep
+    image-shaped staging: their gather is ~2% of the step and the post-
+    gather relayout feeding the convs measured svhn −5% (PERF.md r4)."""
     cfg, model, tx, fresh, ds = setup
     tr = train_lib.Trainer(cfg, ds)
     assert tr.x_all.ndim == 2
@@ -296,3 +299,11 @@ def test_trainer_stages_dataset_flat(setup):
     assert tr2.x_all.ndim == 2
     assert tr2.x_all.sharding.spec == P(mesh_lib.DATA_AXIS)
     assert tr2.n_local == tr2.x_all.shape[0] // tr2.n_dp
+
+    cfg_conv = configs.svhn_conv(batch_size=16, image_shape=(8, 8, 3),
+                                 enc_hidden=(4, 8, 16), dec_hidden=(16, 8, 4),
+                                 data_sharding='replicated')
+    ds_conv = data_lib.make_synthetic(image_shape=(8, 8, 3), n_clusters=2,
+                                      n_train=64, seed=2)
+    tr3 = train_lib.Trainer(cfg_conv, ds_conv)
+    assert tr3.x_all.ndim == 4  # image-shaped staging for conv archs
