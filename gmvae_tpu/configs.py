@@ -106,6 +106,23 @@ class Config:
     # (on-chip regeneration, zero noise residuals in the backward).
     fused_noise: str = 'auto'         # auto|threefry|xla
     scan_steps: int = 1               # micro-steps per jitted outer step
+    # chunk-metrics contract (training._scan_with_metrics): 'stacked'
+    # returns per-step [S] metric arrays (the trajectory contract goldens
+    # and parity protocols read); 'mean' accumulates a running sum in the
+    # scan carry and returns the chunk mean shaped [1] — dropping the seven
+    # per-step dynamic-update-slice stacks the profile attributed at
+    # 4.6 us/step = 8% of the flagship step (PERF.md r4). Params math is
+    # identical either way (bit-equality asserted in tests); fit() never
+    # reads per-step metrics, so production MLP configs default to 'mean'
+    # where the win was measured.
+    metrics_mode: str = 'stacked'     # stacked|mean
+    # lax.scan unroll factor for the chunk body (>=1). NOT bit-neutral:
+    # XLA fuses across unrolled iterations, reordering float accumulation
+    # (measured ~1 ulp param drift after 24 CPU steps — the kernel-tiling
+    # chaos class), so production configs stay at 1 to keep trajectories
+    # bit-deterministic per binary; the knob exists for measured
+    # experiments (PERF.md r4).
+    scan_unroll: int = 1
 
     # parallelism: 1-D data mesh; -1 = all local devices. Slice-ready up to
     # v5e-16 (SURVEY.md §2.2): multi-host uses jax.distributed + process-
@@ -145,10 +162,14 @@ def mnist_k10(**kw) -> Config:
     (BASELINE.json:7; CPU-runnable)."""
     # bfloat16 matmuls: measured trained-ELBO parity 3e-5 vs f32 with
     # identical ACC/NMI, ~5% faster (BASELINE.md); scan_steps amortizes
-    # dispatch (SURVEY.md §7.3 #4)
+    # dispatch (SURVEY.md §7.3 #4). metrics_mode='mean': fit() never reads
+    # per-step metrics, and dropping the seven [S] stacking buffers
+    # measured +7.0% same-session on v5e (1,697,640 -> 1,816,604 img/s/
+    # chip) at params bit-identical to 'stacked' (PERF.md r4; the 20k
+    # trained ELBO reproduced -225.94287109375 bit-for-bit under it).
     return Config(name='mnist_k10', dataset='mnist',
                   compute_dtype='bfloat16', opt_state_dtype='bfloat16',
-                  scan_steps=100).replace(**kw)
+                  metrics_mode='mean', scan_steps=100).replace(**kw)
 
 
 def fmnist_deep(**kw) -> Config:
@@ -162,7 +183,7 @@ def fmnist_deep(**kw) -> Config:
         name='fmnist_deep', dataset='fmnist',
         enc_hidden=(1024, 512, 256), dec_hidden=(256, 512, 1024),
         latent_dim=64, compute_dtype='bfloat16', opt_state_dtype='bfloat16',
-        scan_steps=100, **_CONV_REG,
+        metrics_mode='mean', scan_steps=100, **_CONV_REG,
     ).replace(**kw)
 
 
@@ -242,7 +263,7 @@ def mnist_deepmix(**kw) -> Config:
         name='mnist_deepmix', dataset='mnist', model_family='deep',
         latent_dim=64, w_dim=32, prior_hidden=256,
         compute_dtype='bfloat16', opt_state_dtype='bfloat16',
-        scan_steps=100,
+        metrics_mode='mean', scan_steps=100,
     ).replace(**kw)
 
 

@@ -224,8 +224,15 @@ def make_loss_fn(model: GMVAE, cfg: Config):
             'tau': tau,
             'beta': beta,
         }
+        assert set(metrics) == set(METRIC_KEYS)
         return loss, metrics
     return loss_fn
+
+
+# the per-step metrics structure (all f32 scalars). Single-sourced here so
+# mean-mode chunk accumulators (_scan_with_metrics) can be built without
+# abstractly evaluating a step; make_loss_fn asserts against it.
+METRIC_KEYS = ('loss', 'elbo', 'log_px_z', 'kl', 'kl_cat', 'tau', 'beta')
 
 
 def make_train_step(model: GMVAE, cfg: Config,
@@ -235,6 +242,9 @@ def make_train_step(model: GMVAE, cfg: Config,
 
     def train_step(state: TrainState, batch_u8: jax.Array,
                    base_key: jax.Array):
+        # NOTE: the metrics dict this returns must keep exactly the
+        # METRIC_KEYS structure — mean-mode chunks (_scan_with_metrics)
+        # initialize their accumulator from that constant.
         shard = jax.lax.axis_index(DATA)
         key = jax.random.fold_in(jax.random.fold_in(base_key, state.step),
                                  shard)
@@ -250,6 +260,48 @@ def make_train_step(model: GMVAE, cfg: Config,
         return TrainState(params, opt_state, state.step + 1), metrics
 
     return train_step
+
+
+def _scan_with_metrics(cfg: Config, body, state, xs):
+    """``lax.scan`` of a ``(state, x) -> (state, metrics)`` body, with the
+    chunk's metrics either stacked per step or reduced to a running mean.
+
+    ``cfg.metrics_mode``:
+      'stacked' — metrics come back as [S] arrays (one row per micro-step):
+        the trajectory contract goldens and parity protocols read.
+      'mean'    — metrics are summed into a scalar carry and returned as
+        their chunk mean, shaped [1] (so ``m['elbo'][-1]``-style fences and
+        consumers work unchanged). This removes the per-step
+        dynamic-update-slice stacking of seven [S] output buffers — profile
+        attribution measured that stacking at 4.6 us/step = 8% of the
+        flagship's 57.4 us step (PERF.md r4 per-op table). The params math
+        is untouched: the accumulator only adds AFTER step_fn returns, so
+        trained trajectories are bit-identical across modes
+        (tests/test_train.py::test_metrics_mode_mean_params_bit_equal).
+
+    ``cfg.scan_unroll`` is passed straight to ``lax.scan`` (>=1).
+    """
+    if cfg.metrics_mode == 'stacked':
+        return jax.lax.scan(body, state, xs, unroll=cfg.scan_unroll)
+
+    def body_acc(carry, x):
+        st, acc = carry
+        st, m = body(st, x)
+        return (st, jax.tree.map(jnp.add, acc, m)), None
+
+    acc0 = {k: jnp.zeros((), jnp.float32) for k in METRIC_KEYS}
+    (state, acc), _ = jax.lax.scan(body_acc, (state, acc0), xs,
+                                   unroll=cfg.scan_unroll)
+    n = jnp.float32(xs.shape[0])
+    return state, jax.tree.map(lambda a: (a / n)[None], acc)
+
+
+def _validate_chunk_cfg(cfg: Config) -> None:
+    if cfg.metrics_mode not in ('stacked', 'mean'):
+        raise ValueError(f'metrics_mode must be stacked|mean, '
+                         f'got {cfg.metrics_mode!r}')
+    if cfg.scan_unroll < 1:
+        raise ValueError(f'scan_unroll must be >= 1, got {cfg.scan_unroll}')
 
 
 def make_train_chunk(model: GMVAE, cfg: Config, mesh,
@@ -289,6 +341,7 @@ def make_train_chunk(model: GMVAE, cfg: Config, mesh,
     dynamic_slice ops the checker rejects — those tests pass
     ``check_vma=False`` explicitly.
     """
+    _validate_chunk_cfg(cfg)
     step_fn = make_train_step(model, cfg, tx)
 
     def chunk(state, x_all, idx, base_key):
@@ -296,7 +349,7 @@ def make_train_chunk(model: GMVAE, cfg: Config, mesh,
             rows = x_all[idx_row]
             batch = rows.reshape(rows.shape[0], *cfg.image_shape)
             return step_fn(st, batch, base_key)
-        return jax.lax.scan(body, state, idx)
+        return _scan_with_metrics(cfg, body, state, idx)
 
     # 'sharded': each shard_map block sees only its dataset partition and
     # its idx columns carry LOCAL row numbers (Trainer.batch_plan builds
@@ -328,12 +381,13 @@ def make_train_chunk_stream(model: GMVAE, cfg: Config, mesh,
     the same step_fn — trajectories match 'device' placement bit-exactly
     (tests/test_stream.py).
     """
+    _validate_chunk_cfg(cfg)
     step_fn = make_train_step(model, cfg, tx)
 
     def chunk(state, batches, base_key):
         def body(st, batch_u8):
             return step_fn(st, batch_u8, base_key)
-        return jax.lax.scan(body, state, batches)
+        return _scan_with_metrics(cfg, body, state, batches)
 
     sharded = jax.shard_map(
         chunk, mesh=mesh,

@@ -19,9 +19,11 @@ import json
 import os
 
 # dp_devices pinned to 1: per-shard RNG folding makes the trajectory a
-# function of mesh size, and the golden must be mesh-independent
+# function of mesh size, and the golden must be mesh-independent.
+# metrics_mode pinned to 'stacked': goldens ARE per-step trajectories
+# (production configs may default to 'mean' chunk metrics).
 OVERRIDES = dict(steps=50, eval_every=10**9, ckpt_every=0, seed=123,
-                 dp_devices=1)
+                 dp_devices=1, metrics_mode='stacked')
 
 GOLDENS = {
     'elbo_synthetic.json': ('synthetic_tiny', {}),

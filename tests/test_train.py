@@ -91,7 +91,12 @@ def test_golden_elbo_trajectory(fname):
         golden = json.load(f)
     cfg = configs.get_config(golden.get('config', 'synthetic_tiny'),
                              run_dir='/tmp/gmvae_test_runs')
-    cfg = cfg.replace(**golden['config_overrides'])
+    # the golden contract IS a per-step trajectory, so stacked metrics are
+    # pinned here regardless of the named config's production
+    # metrics_mode (params math is identical across modes —
+    # test_metrics_mode_mean_params_bit_equal)
+    cfg = cfg.replace(**golden['config_overrides']).replace(
+        metrics_mode='stacked')
     trainer = train_lib.Trainer(cfg)
     state = trainer.init_state()
     idx = trainer.batch_plan(golden['steps'])
@@ -345,6 +350,76 @@ def test_evaluate_staged_sweep_bit_equals_per_batch_protocol(tmp_path):
         assert out2 == out
     finally:
         train_lib.mesh_lib.put_global = orig_put
+
+
+def _run_chunk_with(cfg, n_steps=30):
+    trainer = train_lib.Trainer(cfg)
+    state = trainer.init_state()
+    state, m = trainer.run_chunk(state, trainer.batch_plan(n_steps))
+    return state, m
+
+
+def test_metrics_mode_mean_params_bit_equal():
+    """metrics_mode='mean' changes ONLY the metrics plumbing: trained
+    params are bit-identical to 'stacked', the returned means equal the
+    stacked per-step means, and the [1] shape keeps ``m['elbo'][-1]``
+    fences working (training._scan_with_metrics)."""
+    cfg = _tiny_cfg(steps=30, eval_every=10**9, ckpt_every=0)
+    s_stk, m_stk = _run_chunk_with(cfg)
+    s_mean, m_mean = _run_chunk_with(cfg.replace(metrics_mode='mean'))
+    for a, b in zip(jax.tree.leaves(s_stk.params),
+                    jax.tree.leaves(s_mean.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for k in train_lib.METRIC_KEYS:
+        assert np.asarray(m_stk[k]).shape == (30,)
+        assert np.asarray(m_mean[k]).shape == (1,)
+        np.testing.assert_allclose(float(np.asarray(m_mean[k])[-1]),
+                                   float(np.asarray(m_stk[k]).mean()),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_metrics_mode_mean_stream_placement():
+    """The streaming chunk honors metrics_mode too, at the same params
+    bit-equality (stream==device composes with mean metrics)."""
+    cfg = _tiny_cfg(steps=20, eval_every=10**9, ckpt_every=0,
+                    metrics_mode='mean')
+    s_dev, m_dev = _run_chunk_with(cfg, 20)
+    tr = train_lib.Trainer(cfg.replace(data_placement='host_stream'))
+    st = tr.init_state()
+    st, m_st = tr.run_chunk(st, tr.stage_batches(tr.batch_plan_host(20)))
+    for a, b in zip(jax.tree.leaves(s_dev.params), jax.tree.leaves(st.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert np.asarray(m_st['elbo']).shape == (1,)
+    np.testing.assert_array_equal(np.asarray(m_st['elbo']),
+                                  np.asarray(m_dev['elbo']))
+
+
+def test_scan_unroll_trajectory_close():
+    """scan_unroll lets XLA fuse across unrolled iterations, which REORDERS
+    float accumulation — measured max param delta ~6e-8 (1 ulp) after 24
+    CPU steps, i.e. the same chaos class as kernel-tiling changes. That is
+    why every config defaults to unroll=1 (bit-determinism invariant) and
+    the knob is an experiment surface, not a production default. This test
+    pins both facts: trajectories stay CLOSE, and the knob works."""
+    cfg = _tiny_cfg(steps=24, eval_every=10**9, ckpt_every=0)
+    s1, m1 = _run_chunk_with(cfg, 24)
+    s2, m2 = _run_chunk_with(cfg.replace(scan_unroll=4), 24)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5,
+                                   rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(m1['elbo']),
+                               np.asarray(m2['elbo']), rtol=1e-4, atol=1e-3)
+
+
+def test_chunk_cfg_validation():
+    for bad in (dict(metrics_mode='running'), dict(scan_unroll=0)):
+        cfg = _tiny_cfg(**bad)
+        trainer_err = None
+        try:
+            train_lib.Trainer(cfg)
+        except ValueError as e:
+            trainer_err = e
+        assert trainer_err is not None, bad
 
 
 def test_fused_noise_config_plumbing():
