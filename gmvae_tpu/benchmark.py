@@ -86,10 +86,15 @@ def run_bench(cfg=None, steps: int = 2000, scan_steps: int = 100,
         # other configs have no published baseline to ratio against, so
         # the key is omitted rather than emitted as JSON null
         result['vs_baseline'] = round(img_per_sec_chip / 50_000.0, 4)
+    # m['elbo'][-1] is the last STEP's ELBO under metrics_mode='stacked'
+    # but the last CHUNK's mean under 'mean' (training._scan_with_metrics
+    # returns a [1]-shaped chunk mean) — the key says which (ADVICE r4)
+    elbo_key = ('last_chunk_elbo_mean' if cfg.metrics_mode == 'mean'
+                else 'final_elbo_est')
     extra = {'steps': n_chunks * scan_steps, 'seconds': dt,
              'chips': n_chips, 'batch': cfg.batch_size,
              'backend': jax.default_backend(),
-             'final_elbo_est': float(m['elbo'][-1])}
+             elbo_key: float(m['elbo'][-1])}
     if not quiet:
         print(json.dumps(extra), file=sys.stderr)
     if detail:

@@ -247,7 +247,10 @@ def mnist_vae(**kw) -> Config:
     same config-driven module (models/gmvae.py — single component, the
     Gumbel-softmax relaxation is trivially one-hot, kl_cat == 0, the ELBO
     reduces to the standard reparameterized VAE bound with a learned
-    Gaussian prior). Cluster regularizers are meaningless at K=1 and off."""
+    Gaussian prior). Cluster regularizers are meaningless at K=1 and off.
+    Inherits mnist_k10's perf defaults, incl. metrics_mode='mean' (ADVICE
+    r4: intentional — params bit-identical, baseline ELBO is evaluate()'s,
+    which never reads per-step chunk metrics)."""
     return mnist_k10(name='mnist_vae', n_components=1,
                      balance_weight=0.0, conf_weight=0.0).replace(**kw)
 
@@ -270,7 +273,10 @@ def mnist_deepmix(**kw) -> Config:
 def synthetic_hard(**kw) -> Config:
     """MNIST-architecture GMVAE on the overlapping-cluster fixture
     (data/loaders.py make_synthetic_hard): the quality-regression
-    benchmark whose ACC/NMI are NOT saturated at 1.0 (BASELINE.md r2)."""
+    benchmark whose ACC/NMI are NOT saturated at 1.0 (BASELINE.md r2).
+    Inherits mnist_k10's perf defaults, incl. metrics_mode='mean' (ADVICE
+    r4: intentional — params bit-identical, baseline ELBO is evaluate()'s,
+    which never reads per-step chunk metrics)."""
     base = dict(name='synthetic_hard', dataset='synthetic_hard',
                 steps=10_000)
     base.update(kw)

@@ -59,6 +59,46 @@ def test_two_process_dp_train_eval_resume(tmp_path):
         assert 'fit_eval_identical=True' in out, out[-2000:]
 
 
+def test_four_process_pod_topology(tmp_path):
+    """v5e-16 pod-controller topology: 4 processes x 2 fake devices = an
+    8-device global mesh, driving the celeba_dp16 STRUCTURE scaled down
+    (sharded data + per-leaf clip + conv/gaussian) with dataset sizes that
+    divide by neither p=4 nor the device count — process_shard/put_sharded's
+    off-by-one and non-power-of-two split regime (VERDICT r4 #5;
+    BASELINE.json:11, SURVEY.md §5.8, §4.2)."""
+    worker = os.path.join(os.path.dirname(__file__), 'multihost',
+                          'worker_pod4.py')
+    env = dict(os.environ)
+    env.pop('PALLAS_AXON_POOL_IPS', None)
+    env['JAX_PLATFORMS'] = 'cpu'
+    env['XLA_FLAGS'] = '--xla_force_host_platform_device_count=2'
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env['PYTHONPATH'] = repo_root + os.pathsep + env.get('PYTHONPATH', '')
+    port = _free_port()
+    procs = [subprocess.Popen(
+                 [sys.executable, worker, str(i), port, str(tmp_path)],
+                 stdout=subprocess.PIPE,
+                 stderr=subprocess.STDOUT, env=env, text=True)
+             for i in range(4)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        outs.append(out)
+        assert p.returncode == 0, out[-2000:]
+    for out in outs:
+        assert 'procs=4' in out, out[-2000:]
+        assert 'shard_cover=True' in out, out[-2000:]
+        assert 'params_identical=True' in out, out[-2000:]
+        assert 'elbo_finite=True' in out, out[-2000:]
+        assert 'eval_identical=True' in out, out[-2000:]
+        assert 'eval_finite=True' in out, out[-2000:]
+        assert 'resume_matches_uninterrupted=True' in out, out[-2000:]
+        assert 'fit_params_identical=True' in out, out[-2000:]
+        assert 'fit_eval_identical=True' in out, out[-2000:]
+        assert 'stream_eq_device=True' in out, out[-2000:]
+        assert 'stream_identical=True' in out, out[-2000:]
+
+
 def test_env_var_pod_bootstrap():
     """init_distributed itself forms the mesh from the standard JAX pod
     env vars — the exact path `python -m gmvae_tpu train` takes on a pod

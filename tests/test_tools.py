@@ -98,6 +98,38 @@ def test_parity_conv_matched_noise_flag(monkeypatch, capsys):
     assert seen == [{'fused': True}, {'fused': False}]
 
 
+def test_parity_conv_seed_override_and_fused_plan(monkeypatch, capsys):
+    """--seed threads into BOTH arms' config kwargs and stamps every row
+    (the basin-resolved multi-seed protocol, VERDICT r4 #1); the PLAN
+    covers every named config that ships fused=True, incl. mnist_vae and
+    fmnist_deep (VERDICT r4 weak #2)."""
+    import json
+    import parity_conv as pc
+    from gmvae_tpu import configs
+
+    # every named config shipping fused=True needs a parity row; the deep
+    # family is exempt (models/deep.py: the fused Pallas head does not
+    # apply — no Gumbel-softmax head)
+    fused_ships = {n for n in configs.CONFIGS
+                   if configs.get_config(n).fused
+                   and configs.get_config(n).model_family != 'deep'}
+    assert fused_ships <= {n for n, *_ in pc.PLAN}
+    assert {'mnist_vae', 'fmnist_deep', 'synthetic_hard'} <= {
+        n for n, *_ in pc.PLAN}
+
+    seen = []
+
+    def fake_measure(name, steps, n_eval, kw):
+        seen.append(kw)
+        return {'config': name, 'elbo_nats': -100.0, 'acc': 1.0, 'nmi': 1.0}
+
+    monkeypatch.setattr(pc, 'measure', fake_measure)
+    pc.main(['celeba_dp16', '--matched-noise', '--seed', '2'])
+    assert all(k['seed'] == 2 for k in seen), seen
+    rows = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert all(r['seed'] == 2 for r in rows)
+
+
 def test_profile_attr_parses_device_xplane(tmp_path):
     """parse_xplane + attribute on a synthesized TPU-shaped XSpace: op-line
     selection (no double-booking the 'XLA Modules' wrapper), per-op

@@ -40,10 +40,14 @@ from reproduce_baselines import measure  # noqa: E402
 
 # (config, steps, eval_examples, kwargs) — same shapes as the BASELINE.md
 # reproduction rows. mnist_k10 is here for the matched-noise protocol
-# (every config FAMILY needs a matched-noise number, not just conv); its
-# different-draw parity was already recorded in r2 (0.019%).
+# (every config that ships fused=True needs a matched-noise number, not
+# just conv — VERDICT r4 weak #2); its different-draw parity was already
+# recorded in r2 (0.019%).
 PLAN = [
     ('mnist_k10', 20_000, 10_000, {}),
+    ('mnist_vae', 20_000, 10_000, {}),
+    ('fmnist_deep', 20_000, 10_000, {}),
+    ('synthetic_hard', 10_000, 10_000, {}),
     ('svhn_conv', 10_000, 10_000, {}),
     ('cifar_k20', 10_000, 10_000, {}),
     # 10k steps (VERDICT r3 #2's smoke horizon): at 2k steps both paths are
@@ -63,6 +67,12 @@ def main(argv=None) -> None:
                     help="fused run streams the oracle's exact noise draws "
                          "into the kernel (fused_noise='xla'): the trained "
                          'delta measures ONLY kernel accumulation order')
+    ap.add_argument('--seed', type=int, default=None,
+                    help='override cfg.seed for BOTH runs of every selected '
+                         'row (basin-resolved multi-seed protocol, VERDICT '
+                         'r4 #1: classify each seed by the basin each path '
+                         'lands in — at celeba, ACC ~1.0 vs ~0.83 — and '
+                         'compare deltas only within same-basin pairs)')
     args = ap.parse_args(argv)
     which = args.configs or [n for n, *_ in PLAN]
     known = {n for n, *_ in PLAN}
@@ -77,15 +87,20 @@ def main(argv=None) -> None:
             run_kw = {**kw, 'fused': fused}
             if fused and args.matched_noise:
                 run_kw['fused_noise'] = 'xla'
+            if args.seed is not None:
+                run_kw['seed'] = args.seed
             row = measure(name, steps, n_eval, run_kw)
             row['fused'] = fused
             row['matched_noise'] = bool(args.matched_noise)
+            if args.seed is not None:
+                row['seed'] = args.seed
             print(json.dumps(row), flush=True)
             rows[fused] = row
         a, b = rows[True], rows[False]
         delta = abs(a['elbo_nats'] - b['elbo_nats']) / abs(b['elbo_nats'])
         print(json.dumps({
             'config': name, 'parity': True,
+            'seed': args.seed if args.seed is not None else 0,
             'matched_noise': bool(args.matched_noise),
             'elbo_fused': a['elbo_nats'], 'elbo_oracle': b['elbo_nats'],
             'elbo_rel_delta_pct': round(100 * delta, 4),
