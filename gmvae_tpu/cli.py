@@ -65,6 +65,11 @@ def build_parser() -> argparse.ArgumentParser:
     b = sub.add_parser('bench', help='training throughput benchmark')
     common(b)
     b.add_argument('--steps', type=int, default=2000)
+    b.add_argument('--pipeline', choices=('reused', 'windowed'),
+                   default='reused',
+                   help="input-plan arm: 'reused' re-feeds one chunk's plan "
+                        "(the driver contract); 'windowed' drives fit()'s "
+                        'real iter_chunk_plans pipeline (benchmark.run_bench)')
 
     sub.add_parser('configs', help='list the named configs')
 
@@ -322,7 +327,8 @@ def main(argv=None) -> int:
             # --set scan_steps/steps must win over the harness defaults
             # (run_bench otherwise replaces both with its own parameters)
             ov = configs.parse_overrides(args.set)
-            kw = {'steps': ov.get('steps', args.steps)}
+            kw = {'steps': ov.get('steps', args.steps),
+                  'pipeline': args.pipeline}
             if 'scan_steps' in ov:
                 kw['scan_steps'] = ov['scan_steps']
             print(json.dumps(run_bench(cfg, **kw)))

@@ -95,6 +95,60 @@ def test_run_bench_flagship_contract():
     assert abs(r['vs_baseline'] - r['value'] / 50_000.0) < 1e-3
 
 
+def test_run_bench_windowed_pipeline_arm():
+    """pipeline='windowed' drives fit()'s real iter_chunk_plans pipeline
+    (VERDICT r4 weak #3's A/B instrument): same schema, plausible rate,
+    detail stamped with the arm; bad arm names rejected."""
+    import pytest
+    cfg = configs.synthetic_tiny(batch_size=32)
+    r = benchmark.run_bench(cfg, steps=4, scan_steps=2, warmup_chunks=1,
+                            pipeline='windowed', detail=True)
+    assert r['value'] > 0
+    assert r['detail']['pipeline'] == 'windowed'
+    assert r['detail']['steps'] == 4
+    r2 = benchmark.run_bench(cfg, steps=4, scan_steps=2, warmup_chunks=1,
+                             detail=True)
+    assert r2['detail']['pipeline'] == 'reused'
+    with pytest.raises(ValueError, match='reused|windowed'):
+        benchmark.run_bench(cfg, steps=4, scan_steps=2, pipeline='nope')
+
+
+def test_run_bench_windowed_host_stream():
+    """The windowed arm composes with host_stream placement (staged
+    batches come from the same iterator fit() uses)."""
+    cfg = configs.synthetic_tiny(batch_size=32,
+                                 data_placement='host_stream')
+    r = benchmark.run_bench(cfg, steps=4, scan_steps=2, warmup_chunks=1,
+                            pipeline='windowed')
+    assert r['value'] > 0
+
+
+def test_bench_ab_tool_summary(monkeypatch, capsys):
+    """bench_ab interleaves the arms, repeats to the requested counts, and
+    the summary carries medians + the plan-pipeline delta."""
+    import sys as _sys
+    _sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..',
+                                     'tools'))
+    import bench_ab
+
+    calls = []
+
+    def fake_run_bench(cfg, steps, pipeline):
+        calls.append(pipeline)
+        val = {'reused': 100.0, 'windowed': 90.0}[pipeline]
+        return {'metric': 'm', 'value': val, 'unit': 'u'}
+
+    import gmvae_tpu.benchmark as bm
+    monkeypatch.setattr(bm, 'run_bench', fake_run_bench)
+    bench_ab.main(['--repeats-reused', '3', '--repeats-windowed', '2'])
+    assert calls.count('reused') == 3 and calls.count('windowed') == 2
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    s = lines[-1]
+    assert s['reused_median'] == 100.0 and s['windowed_median'] == 90.0
+    assert s['plan_pipeline_cost_pct'] == 10.0
+    assert s['reused_spread_pct'] == 0.0
+
+
 def test_compile_exclusion_actually_excludes_compile():
     """With warmup (compile outside the timed window) throughput must be
     far higher than with compile included — the assertion that fails if a
