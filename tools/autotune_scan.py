@@ -10,6 +10,11 @@ per setting, so a config's default can be pinned to measurement.
     python tools/autotune_scan.py mnist_k10
 """
 
+import os as _os, sys as _sys
+# runnable as `python tools/<name>.py` from anywhere: script mode
+# puts tools/ (not the repo root) on sys.path
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import json
 

@@ -11,6 +11,11 @@ materially.
     python tools/bench_conv_bound.py cifar_k20 svhn_conv
 """
 
+import os as _os, sys as _sys
+# runnable as `python tools/<name>.py` from anywhere: script mode
+# puts tools/ (not the repo root) on sys.path
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import json
 import sys
 import time

@@ -30,6 +30,11 @@ faster representation is trajectory-preserving by construction.
 
 from __future__ import annotations
 
+import os as _os, sys as _sys
+# runnable as `python tools/<name>.py` from anywhere: script mode
+# puts tools/ (not the repo root) on sys.path
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import json
 import sys

@@ -29,6 +29,11 @@ XLA's matmul pipelining); recorded in PERF.md instead.
     python tools/bench_head_boundary.py            # both shapes, both variants
 """
 
+import os as _os, sys as _sys
+# runnable as `python tools/<name>.py` from anywhere: script mode
+# puts tools/ (not the repo root) on sys.path
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import functools
 import json
 import sys

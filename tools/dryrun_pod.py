@@ -16,6 +16,11 @@ environment pins the parent interpreter to a remote-TPU platform at
 startup; same technique as __graft_entry__.dryrun_multichip).
 """
 
+import os as _os, sys as _sys
+# runnable as `python tools/<name>.py` from anywhere: script mode
+# puts tools/ (not the repo root) on sys.path
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import json
 import os

@@ -36,6 +36,7 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from reproduce_baselines import measure  # noqa: E402
 
 # (config, steps, eval_examples, kwargs) — same shapes as the BASELINE.md

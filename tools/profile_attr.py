@@ -36,6 +36,11 @@ NOT flat — three event kinds would wildly over-count if summed naively:
 
 from __future__ import annotations
 
+import os as _os, sys as _sys
+# runnable as `python tools/<name>.py` from anywhere: script mode
+# puts tools/ (not the repo root) on sys.path
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import glob
 import json

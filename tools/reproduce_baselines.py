@@ -25,7 +25,13 @@ sweep is this one command.
 
 import argparse
 import json
+import os
+import sys
 import time
+
+# runnable as `python tools/reproduce_baselines.py` from anywhere: script
+# mode puts tools/ (not the repo root) on sys.path
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import numpy as np

@@ -18,6 +18,11 @@ TPU v5e peaks (public spec): 197 TFLOP/s bf16 MXU, 819 GB/s HBM.
 Prints one JSON row per config and a markdown table to stderr for PERF.md.
 """
 
+import os as _os, sys as _sys
+# runnable as `python tools/<name>.py` from anywhere: script mode
+# puts tools/ (not the repo root) on sys.path
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import json
 import sys
