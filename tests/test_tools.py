@@ -234,3 +234,27 @@ def test_profile_attr_envelope_and_async_accounting(tmp_path):
     assert out['groups_us_per_step'] == {'matmul': 4.0,
                                          'unattributed': 4.0,
                                          'head_kernel': 2.0}
+
+
+def test_chaos_floor_lr_perturbation_plumbs_through(capsys):
+    """tools/chaos_floor.py (VERDICT r4 #1, round 5): the perturbed arm's
+    lr actually reaches training — with a deliberately huge --eps the two
+    arms' trained ELBOs must differ (a tiny real run, same mechanics as
+    the celeba chaos-floor protocol), and every row/summary carries the
+    stamps the PERF.md analysis reads. The eps->0 limit (bit-identical
+    arms) is the measured result documented in the module docstring."""
+    import json
+    import chaos_floor as cf
+
+    cf.main(['--config', 'synthetic_tiny', '--seeds', '0', '--steps', '40',
+             '--checkpoints', '40', '--eval-examples', '64',
+             '--batch-size', '32', '--eps', '0.5'])
+    rows = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    arms = {r['arm'] for r in rows if 'arm' in r}
+    assert arms == {'oracle', 'perturbed'}
+    summary = [r for r in rows if r.get('chaos_floor')]
+    assert len(summary) == 1 and summary[0]['step'] == 40
+    assert summary[0]['perturb_rel'] == 0.5
+    # lr*1.5 over 40 steps must visibly move the trajectory
+    assert summary[0]['elbo_rel_delta_pct'] > 0
+    assert summary[0]['elbo_oracle'] != summary[0]['elbo_perturbed']
