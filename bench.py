@@ -20,14 +20,25 @@ except ImportError:  # driver runs this file in place, package not installed
 def _backend_reachable(timeout_s: int = 180) -> bool:
     """Bounded backend probe in a subprocess.
 
-    The axon remote-TPU tunnel, when down, HANGS backend init forever
-    (observed outage) — probing in-process would hang this entry point
-    too, and the driver would record a timeout instead of a diagnosis.
+    The axon remote-TPU tunnel has two observed failure modes, and the
+    probe must catch both:
+
+    - tunnel DOWN: backend init (``jax.devices()``) hangs forever — an
+      in-process probe would hang this entry point too, so probe in a
+      killable subprocess;
+    - tunnel UP but pool DEGRADED (observed 2026-08-19): ``jax.devices()``
+      returns fine while every compile/execute/fetch RPC hangs — a
+      device-listing probe passes and the bench then hangs on its first
+      timing fence. The probe therefore runs a tiny jitted op end to end
+      INCLUDING the device->host fetch (the only real fence on axon).
     """
     import subprocess
     try:
         p = subprocess.run(
-            [sys.executable, '-c', 'import jax; jax.devices()'],
+            [sys.executable, '-c',
+             'import jax, numpy; '
+             'v = jax.jit(lambda: (jax.numpy.ones((8, 128)) * 2).sum())(); '
+             'assert float(numpy.asarray(v)) == 2048.0'],
             env=dict(os.environ), timeout=timeout_s,
             stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
         return p.returncode == 0

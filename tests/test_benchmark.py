@@ -72,6 +72,17 @@ def test_wait_for_backend_zero_window_probes_exactly_once():
     assert not ok and probes[0] == 1
 
 
+def test_backend_probe_round_trips_an_execution():
+    """The probe must exercise compile+execute+device->host fetch, not just
+    device listing: the axon pool's observed degraded mode (2026-08-19)
+    answers ``jax.devices()`` while every execution RPC hangs, so a
+    listing-only probe passes and the bench then hangs past the driver's
+    timeout. On the test env's live CPU backend the end-to-end probe
+    must succeed inside its window."""
+    bench = _load_bench_module()
+    assert bench._backend_reachable(timeout_s=120)
+
+
 def test_run_bench_schema_and_sanity():
     cfg = configs.synthetic_tiny(batch_size=32)
     r = benchmark.run_bench(cfg, steps=4, scan_steps=2, warmup_chunks=1)
