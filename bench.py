@@ -82,6 +82,38 @@ def wait_for_backend(window_s: float = 2700.0, retry_every_s: float = 180.0,
         sleep(retry_every_s)
 
 
+def median_capture(repeats: int, bench=None, log=None) -> dict:
+    """Run the bench ``repeats`` times, emit the median-value run.
+
+    Single-shot driver captures sit in a measured 4-14% repeat spread
+    (PERF.md "Bench-vs-fit reconciliation": reused-arm spread 13.8% over
+    5 same-session repeats), so one draw can misstate the binary by most
+    of that band. This runs the identical bench back-to-back — the first
+    call pays any residual compile, later calls are pure timed windows —
+    and reports the run whose value is the MEDIAN (``median_low``: a real
+    capture, not a synthetic average), annotated with ``repeats`` and the
+    observed ``spread_pct`` so every BENCH artifact carries its own
+    repeat distribution (VERDICT r4 weak #3). ``repeats=1`` preserves the
+    exact historical one-shot schema.
+    """
+    import statistics
+    bench = bench or run_bench
+    log = log or (lambda msg: print(msg, file=sys.stderr, flush=True))
+    runs = []
+    for i in range(max(1, repeats)):
+        r = bench()
+        runs.append(r)
+        log(f'bench.py: repeat {i + 1}/{repeats}: {r["value"]} {r["unit"]}')
+    if len(runs) == 1:
+        return runs[0]
+    values = sorted(r['value'] for r in runs)
+    med = statistics.median_low(values)
+    out = dict(next(r for r in runs if r['value'] == med))
+    out['repeats'] = len(runs)
+    out['spread_pct'] = round(100.0 * (values[-1] - values[0]) / med, 2)
+    return out
+
+
 if __name__ == '__main__':
     window_s = float(os.environ.get('GMVAE_BENCH_PROBE_WINDOW_S', 2700))
     retry_s = float(os.environ.get('GMVAE_BENCH_PROBE_EVERY_S', 180))
@@ -92,4 +124,5 @@ if __name__ == '__main__':
         sys.exit(3)
     from gmvae_tpu.utils.compile_cache import enable_compile_cache
     enable_compile_cache()
-    print(json.dumps(run_bench()))
+    repeats = int(os.environ.get('GMVAE_BENCH_REPEATS', 3))
+    print(json.dumps(median_capture(repeats)))

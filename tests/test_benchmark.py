@@ -134,6 +134,31 @@ def test_run_bench_windowed_host_stream():
     assert r['value'] > 0
 
 
+def test_median_capture_picks_a_real_run_and_carries_spread():
+    """The driver line must be an actual capture (median_low), not an
+    average, and must carry repeats + observed spread (VERDICT r4 #3)."""
+    bench = _load_bench_module()
+    vals = iter([110.0, 90.0, 100.0])
+
+    def fake():
+        return {'metric': 'm', 'value': next(vals), 'unit': 'u',
+                'vs_baseline': 2.0}
+
+    out = bench.median_capture(3, bench=fake, log=lambda m: None)
+    assert out['value'] == 100.0  # the median run, verbatim
+    assert out['repeats'] == 3
+    assert out['spread_pct'] == 20.0  # (110-90)/100
+    assert out['vs_baseline'] == 2.0  # the median run's own fields ride along
+    json.dumps(out)
+
+
+def test_median_capture_single_repeat_keeps_historical_schema():
+    bench = _load_bench_module()
+    r = {'metric': 'm', 'value': 5.0, 'unit': 'u'}
+    out = bench.median_capture(1, bench=lambda: dict(r), log=lambda m: None)
+    assert out == r  # no repeats/spread keys on the one-shot shape
+
+
 def test_bench_ab_tool_summary(monkeypatch, capsys):
     """bench_ab interleaves the arms, repeats to the requested counts, and
     the summary carries medians + the plan-pipeline delta."""
