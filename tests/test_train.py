@@ -394,6 +394,33 @@ def test_metrics_mode_mean_stream_placement():
                                   np.asarray(m_dev['elbo']))
 
 
+def test_scan_chunk_size_params_bit_equal():
+    """scan_steps is a pure dispatch-granularity knob: the batch-index
+    stream comes from one prefix-stable derivation (epoch_batch_indices),
+    and the scan body compiles identically at any trip count, so params
+    after N steps are BIT-identical across chunk sizes. This is the
+    invariance that lets tools/autotune_scan.py tune scan_steps per config
+    without re-proving trained trajectories (unlike scan_unroll, which
+    reorders accumulation — next test)."""
+    cfg = _tiny_cfg(steps=40, eval_every=10**9, ckpt_every=0)
+
+    def train(scan_steps):
+        tr = train_lib.Trainer(cfg.replace(scan_steps=scan_steps))
+        st = tr.init_state()
+        m = None
+        for _, idx in tr.iter_chunk_plans(0, 40):
+            st, m = tr.run_chunk(st, idx)
+        return st, m
+
+    s8, m8 = train(8)
+    s20, m20 = train(20)
+    for a, b in zip(jax.tree.leaves(s8.params), jax.tree.leaves(s20.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # last step's metrics agree too (stacked mode: compare final entries)
+    np.testing.assert_array_equal(np.asarray(m8['elbo'])[-1],
+                                  np.asarray(m20['elbo'])[-1])
+
+
 def test_scan_unroll_trajectory_close():
     """scan_unroll lets XLA fuse across unrolled iterations, which REORDERS
     float accumulation — measured max param delta ~6e-8 (1 ulp) after 24
