@@ -118,11 +118,24 @@ def put_global(mesh: Mesh, spec: P, host_array) -> jax.Array:
     addressable shards — every process must hold the same full host array
     (our datasets and batch plans are deterministic from the config seed, so
     they are identical by construction).
+
+    Single-process inputs that are ALREADY device arrays (the batch plans
+    ``Trainer.batch_plan`` computes on device) are resharded device-side:
+    forcing them through ``np.asarray`` is a SYNCHRONOUS device->host fetch
+    that the axon tunnel turns into a multi-hundred-ms stall per plan
+    window — measured as a 44% steady-state gap between the reused-plan
+    bench and the real ``fit()`` pipeline at the 20k-step scale before this
+    fast path existed (PERF.md "Bench-vs-fit reconciliation", round 5).
+    Values are unchanged either way; only the transfer route differs, so
+    trajectories stay bit-identical (re-proven: the 20k mnist_k10 ELBO
+    -225.94287109375 reproduced through this change).
     """
-    host_array = np.asarray(host_array)
     sharding = NamedSharding(mesh, spec)
     if jax.process_count() == 1:
+        if not isinstance(host_array, jax.Array):
+            host_array = np.asarray(host_array)
         return jax.device_put(host_array, sharding)
+    host_array = np.asarray(host_array)
     return jax.make_array_from_callback(
         host_array.shape, sharding, lambda idx: host_array[idx])
 

@@ -307,3 +307,50 @@ def test_trainer_stages_dataset_flat(setup):
                                       n_train=64, seed=2)
     tr3 = train_lib.Trainer(cfg_conv, ds_conv)
     assert tr3.x_all.ndim == 4  # image-shaped staging for conv archs
+
+
+def test_put_global_device_input_resharded_without_host_fetch(setup, monkeypatch):
+    """Single-process put_global with a DEVICE-array input (the batch plans
+    ``Trainer.batch_plan`` computes on device) must reshard device-side:
+    the old unconditional ``np.asarray`` was a SYNCHRONOUS device->host
+    fetch of the whole plan window, measured as a 44% steady-state gap
+    between the reused-plan bench and the real fit() pipeline at 20k-step
+    scale over the axon tunnel (PERF.md "Bench-vs-fit reconciliation").
+    Values and sharding must match the host-numpy path exactly."""
+    cfg, model, tx, fresh, ds = setup
+    mesh = mesh_lib.make_mesh(dp_devices=N_DEV,
+                              devices=jax.devices()[:N_DEV])
+    host = np.arange(5 * 64, dtype=np.int32).reshape(5, 64)
+    spec = P(None, mesh_lib.DATA_AXIS)
+    via_host = mesh_lib.put_global(mesh, spec, host)
+
+    fetched = []
+    orig = mesh_lib.np.asarray
+
+    def spy(a, *args, **kw):
+        if isinstance(a, jax.Array):
+            fetched.append(a)
+        return orig(a, *args, **kw)
+
+    monkeypatch.setattr(mesh_lib.np, 'asarray', spy)
+    via_dev = mesh_lib.put_global(mesh, spec, jnp.asarray(host))
+    monkeypatch.undo()
+
+    assert not fetched, 'device input must not round-trip through the host'
+    assert via_dev.sharding.spec == via_host.sharding.spec
+    assert via_dev.dtype == via_host.dtype
+    np.testing.assert_array_equal(np.asarray(via_dev), np.asarray(via_host))
+
+
+def test_batch_plan_values_unchanged_by_device_reshard(setup):
+    """Trainer.batch_plan (device plan, resharded via the fast path above)
+    carries exactly the values batch_plan_host derives for the same window
+    — the single-derivation invariant stream==device trajectories rest on
+    (CLAUDE.md invariants; tests/test_stream.py proves the trajectory-level
+    consequence, this pins the plan itself through the reshard change)."""
+    cfg, model, tx, fresh, ds = setup
+    tr = train_lib.Trainer(cfg, ds)
+    dev = np.asarray(tr.batch_plan(7, start_step=3))
+    cfg_s = cfg.replace(data_placement='host_stream')
+    host = train_lib.Trainer(cfg_s, ds).batch_plan_host(7, start_step=3)
+    np.testing.assert_array_equal(dev, host)
