@@ -74,8 +74,32 @@ def preprocess_batch(key: jax.Array, x_uint8: jax.Array,
     return x
 
 
+def epoch_keys(key: jax.Array, e0, n_ep: int) -> jax.Array:
+    """``jax.random.split(key, e0 + n_ep)[e0:]`` without materializing the
+    prefix — the ``[n_ep, 2]`` result shape is CONSTANT in ``e0``.
+
+    jax's (partitionable, the modern default) threefry split is
+    counter-based: element ``i`` of ``split(key, N)`` is
+    ``threefry2x32(key, counter=(0, i))``, independent of the total count
+    ``N`` (jax._src.prng._threefry_split_foldlike) — the prefix-stability
+    windowed plan generation has always relied on. Computing the
+    ``[e0, e0+n_ep)`` counter block directly makes every plan window the
+    same SHAPE regardless of its position, so ``e0`` can be traced data
+    and ONE compiled generator serves every window of a run; the
+    split-then-slice form made window position a shape, compiling a fresh
+    program per window mid-run over the remote-compile tunnel.
+    Bit-equality with ``jax.random.split`` is pinned by
+    tests/test_data.py against the installed jax, so a jax upgrade that
+    changed the split layout would fail loudly, not drift silently.
+    """
+    from gmvae_tpu.ops.kernels.threefry import threefry2x32
+    c1 = jnp.asarray(e0, jnp.uint32) + jnp.arange(n_ep, dtype=jnp.uint32)
+    x0, x1 = threefry2x32(key[0], key[1], jnp.zeros_like(c1), c1)
+    return jnp.stack([x0, x1], axis=-1)
+
+
 def epoch_batch_indices(key: jax.Array, n_data: int, batch_size: int,
-                        n_steps: int, start_step: int = 0) -> jax.Array:
+                        n_steps: int, start_step=0) -> jax.Array:
     """Device-resident batch index plan: ``[n_steps, batch_size]`` int32
     covering steps ``[start_step, start_step + n_steps)``.
 
@@ -92,12 +116,12 @@ def epoch_batch_indices(key: jax.Array, n_data: int, batch_size: int,
 
     Shape stability: the number of epochs materialized is a CONSTANT
     ``cdiv(n_steps, steps_per_epoch) + 1`` regardless of how ``start_step``
-    aligns inside an epoch (the alignment-dependent count
-    ``cdiv(offset + n_steps, spe)`` flips between two values as a run's
-    windows walk through epochs, recompiling the expensive vmapped
-    permutation program mid-run over the remote-compile tunnel), and the
-    final window slice uses a dynamic start so one executable serves every
-    window of a run.
+    aligns inside an epoch, the epoch keys come from ``epoch_keys`` (shape
+    constant in the window position), and the final window slice uses a
+    dynamic start — so ``start_step`` may be a TRACED scalar and one
+    executable serves every window of a run (``Trainer.batch_plan`` jits
+    this with the window position as data; the pre-r5 split-then-slice
+    form recompiled per window over the remote-compile tunnel).
     """
     if batch_size > n_data:
         raise ValueError(
@@ -107,10 +131,10 @@ def epoch_batch_indices(key: jax.Array, n_data: int, batch_size: int,
     steps_per_epoch = max(1, n_data // batch_size)
     e0 = start_step // steps_per_epoch
     n_ep = -(-n_steps // steps_per_epoch) + 1  # cdiv + 1: any alignment
-    keys = jax.random.split(key, e0 + n_ep)[e0:]
+    keys = epoch_keys(key, e0, n_ep)
     perms = jax.vmap(lambda k: jax.random.permutation(k, n_data))(keys)
     idx = perms[:, :steps_per_epoch * batch_size]
     idx = idx.reshape(n_ep * steps_per_epoch, batch_size)
     off = start_step - e0 * steps_per_epoch
-    return jax.lax.dynamic_slice_in_dim(idx, jnp.int32(off),
+    return jax.lax.dynamic_slice_in_dim(idx, jnp.asarray(off, jnp.int32),
                                         n_steps).astype(jnp.int32)

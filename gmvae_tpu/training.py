@@ -537,6 +537,7 @@ class Trainer:
         self.tx = make_optimizer(cfg)
         self.eval_step = make_eval_step(self.model, cfg, self.mesh)
         self.base_key = jax.random.PRNGKey(cfg.seed)
+        self._plan_programs: Dict[int, Any] = {}  # window len -> jitted gen
         if cfg.data_placement == 'host_stream':
             # dataset stays in host RAM; chunks stage their batches via an
             # async host->device put (iter_chunk_plans), so HBM holds only
@@ -602,37 +603,66 @@ class Trainer:
     def batch_plan(self, n_steps: int, start_step: int = 0) -> jax.Array:
         """[n_steps, B_global] device-resident batch indices, sharded for DP.
 
-        Multi-host (SURVEY.md §5.8): every process derives the IDENTICAL
-        plan from the config seed, and ``put_global`` shards it over the
-        global data axis — each process's devices then gather only their own
-        batch columns.
+        Multi-host (SURVEY.md §5.8): the plan is a pure function of the
+        config seed, computed by one jitted SPMD program whose
+        ``out_shardings`` partition the batch axis over the global mesh —
+        every process dispatches the identical program and each device
+        keeps only its own batch columns.
 
         'replicated' data: one global permutation stream; indices are global
         rows. 'sharded' data: shard ``s`` gets an independent permutation
         stream over its LOCAL partition (fold_in(plan_key, s)); its column
         block carries local row numbers, matching its x_all block.
         """
-        plan_key = jax.random.fold_in(self.base_key, 1)
         if self.cfg.data_placement == 'host_stream':
             raise RuntimeError('host_stream placement uses batch_plan_host '
                                '(plans must be host arrays to gather from '
                                'host RAM; a global device plan cannot be '
                                'fetched on a multi-process mesh)')
+        return self._plan_program(n_steps)(jnp.int32(start_step))
+
+    def _plan_program(self, n_steps: int):
+        """The compiled plan generator for ``n_steps``-long windows.
+
+        One executable serves EVERY window of a run: the window position
+        is traced DATA (``epoch_keys`` makes the generation shape-stable
+        in ``start_step``), and ``out_shardings`` places the plan directly
+        into its DP layout — so window generation is one async jit
+        dispatch, with no host round trip and no mid-run recompile. The
+        eager form this replaces (generate on device -> sync np.asarray
+        fetch -> put_global) measured a 44% steady-state gap between the
+        reused-plan bench and the real fit() pipeline at 20k-step scale;
+        after the device-side reshard fix the residual per-window eager
+        dispatch still cost ~6-8%% (PERF.md "Bench-vs-fit
+        reconciliation", round 5).
+        """
+        fn = self._plan_programs.get(n_steps)
+        if fn is not None:
+            return fn
+        plan_key = jax.random.fold_in(self.base_key, 1)
         if self.cfg.data_sharding == 'sharded':
             b_local = self.cfg.batch_size // self.n_dp
-            shard_keys = jax.vmap(lambda s: jax.random.fold_in(plan_key, s))(
-                jnp.arange(self.n_dp))
-            plans = jax.vmap(lambda k: data_lib.epoch_batch_indices(
-                k, self.n_local, b_local, n_steps, start_step))(shard_keys)
-            # [n_dp, S, b_local] -> [S, n_dp*b_local], columns grouped by
-            # shard (NamedSharding partitions the axis contiguously in
-            # device order, so shard s receives exactly its own block)
-            idx = jnp.transpose(plans, (1, 0, 2)).reshape(n_steps, -1)
+            n_dp = self.n_dp
+
+            def gen(start):
+                shard_keys = jax.vmap(
+                    lambda s: jax.random.fold_in(plan_key, s))(
+                        jnp.arange(n_dp))
+                plans = jax.vmap(lambda k: data_lib.epoch_batch_indices(
+                    k, self.n_local, b_local, n_steps, start))(shard_keys)
+                # [n_dp, S, b_local] -> [S, n_dp*b_local], columns grouped
+                # by shard (NamedSharding partitions the axis contiguously
+                # in device order, so shard s receives exactly its block)
+                return jnp.transpose(plans, (1, 0, 2)).reshape(n_steps, -1)
         else:
-            idx = data_lib.epoch_batch_indices(plan_key, self.n_local,
-                                               self.cfg.batch_size, n_steps,
-                                               start_step)
-        return mesh_lib.put_global(self.mesh, P(None, DATA), idx)
+            def gen(start):
+                return data_lib.epoch_batch_indices(
+                    plan_key, self.n_local, self.cfg.batch_size, n_steps,
+                    start)
+        fn = jax.jit(gen, out_shardings=NamedSharding(self.mesh,
+                                                      P(None, DATA)))
+        self._plan_programs[n_steps] = fn
+        return fn
 
     def batch_plan_host(self, n_steps: int, start_step: int = 0) -> np.ndarray:
         """The host-side batch plan for 'host_stream' placement.
@@ -679,11 +709,13 @@ class Trainer:
         """Yield per-chunk batch plans ``(n_steps, idx)`` for steps
         ``[start, total)``, generated in SUPER-chunks: bounded
         O(plan-window) device memory instead of an O(total-steps) resident
-        array, while the per-chunk cost stays a device-side slice — plan
-        GENERATION involves a host round-trip (``put_global`` needs
-        identical host copies on every process), which must not land in
-        the hot loop every chunk (measured: per-chunk generation sank svhn
-        steady-state 318k -> 21k img/s). Multi-window runs always generate
+        array, while the per-chunk cost stays a device-side slice. Device
+        placement generates each window with ONE async jit dispatch
+        (``_plan_program``); host_stream still pays a sync device->host
+        fetch per window (the host gather needs the values), which must
+        not land in the hot loop every chunk (measured: per-chunk
+        generation sank svhn steady-state 318k -> 21k img/s; a window
+        amortizes it 8-156x). Multi-window runs always generate
         FULL windows (the last overshoots ``total``; the extra rows are
         never consumed and the permutation stream is prefix-stable, so
         trajectories are unchanged regardless of windowing) — a

@@ -565,3 +565,38 @@ def test_unpack_rows_jits_and_fuses_shapes():
     w = jnp.asarray(pp.pack_rows(x))
     out = jax.jit(lambda a: pp.unpack_rows(a, (28, 28, 1)))(w)
     np.testing.assert_array_equal(np.asarray(out), x)
+
+
+def test_epoch_keys_bit_equal_to_jax_split():
+    """epoch_keys(key, e0, n) must equal jax.random.split(key, e0+n)[e0:]
+    BIT-FOR-BIT — it is the windowed plan generator's shape-stable
+    replacement for split-then-slice (preprocess.epoch_keys), and every
+    batch plan in the framework derives from it. Sweeps window positions
+    (incl. e0=0 and a deep-in-the-run e0) and key seeds; a jax upgrade
+    that changed the split counter layout fails here, not as a silent
+    trajectory drift."""
+    from gmvae_tpu.data.preprocess import epoch_keys
+    for seed in (0, 1, 12345):
+        key = jax.random.PRNGKey(seed)
+        for e0 in (0, 1, 33, 467, 10_001):
+            for n_ep in (1, 2, 35):
+                want = np.asarray(jax.random.split(key, e0 + n_ep)[e0:])
+                got = np.asarray(epoch_keys(key, e0, n_ep))
+                np.testing.assert_array_equal(got, want)
+    # traced e0 (how _plan_program uses it) == python e0
+    key = jax.random.PRNGKey(7)
+    got = jax.jit(lambda s: epoch_keys(key, s, 4))(jnp.int32(33))
+    np.testing.assert_array_equal(np.asarray(got),
+                                  np.asarray(epoch_keys(key, 33, 4)))
+
+
+def test_epoch_batch_indices_traced_start_matches_python_start():
+    """epoch_batch_indices with a TRACED start_step (the jitted plan
+    program's calling convention) equals the eager python-int call —
+    windowed plans are position-independent in shape AND value."""
+    key = jax.random.PRNGKey(3)
+    eager = data_lib.epoch_batch_indices(key, n_data=100, batch_size=8,
+                                         n_steps=9, start_step=29)
+    traced = jax.jit(lambda s: data_lib.epoch_batch_indices(
+        key, 100, 8, 9, s))(jnp.int32(29))
+    np.testing.assert_array_equal(np.asarray(eager), np.asarray(traced))
