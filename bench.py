@@ -3,6 +3,15 @@
 Prints exactly ONE JSON line (the driver records it in BENCH_r{N}.json).
 Thin wrapper over gmvae_tpu.benchmark.run_bench — see that module for
 methodology (compile excluded, device->host fetch as the timing fence).
+
+Round 5: the driver metric is the WINDOWED pipeline at the flagship's
+real 20k-step horizon — the exact plan pipeline `fit()` pays, timed over
+the steps the config actually trains. The r4 metric (reused-plan arm,
+2k steps) excluded windowed plan generation entirely and measured a
+pipeline real runs never execute; the in-run 20k rate now matches this
+metric within 0.7% (PERF.md "Bench-vs-fit reconciliation"). Override with
+GMVAE_BENCH_PIPELINE=reused / GMVAE_BENCH_STEPS=N to reproduce the old
+step-isolation number.
 """
 
 import json
@@ -114,6 +123,19 @@ def median_capture(repeats: int, bench=None, log=None) -> dict:
     return out
 
 
+def driver_bench(env=None, bench=None):
+    """The bench callable the driver metric runs: windowed pipeline (the
+    real ``fit()`` plan path — PERF.md "Bench-vs-fit reconciliation") at
+    the flagship's real 20k-step horizon, env-overridable back to the
+    step-isolation arm (GMVAE_BENCH_PIPELINE=reused, GMVAE_BENCH_STEPS=N).
+    """
+    env = os.environ if env is None else env
+    bench = bench or run_bench
+    steps = int(env.get('GMVAE_BENCH_STEPS', 20_000))
+    pipeline = env.get('GMVAE_BENCH_PIPELINE', 'windowed')
+    return lambda: bench(steps=steps, pipeline=pipeline)
+
+
 if __name__ == '__main__':
     window_s = float(os.environ.get('GMVAE_BENCH_PROBE_WINDOW_S', 2700))
     retry_s = float(os.environ.get('GMVAE_BENCH_PROBE_EVERY_S', 180))
@@ -124,5 +146,5 @@ if __name__ == '__main__':
         sys.exit(3)
     from gmvae_tpu.utils.compile_cache import enable_compile_cache
     enable_compile_cache()
-    repeats = int(os.environ.get('GMVAE_BENCH_REPEATS', 3))
-    print(json.dumps(median_capture(repeats)))
+    repeats = int(os.environ.get('GMVAE_BENCH_REPEATS', 5))
+    print(json.dumps(median_capture(repeats, bench=driver_bench())))

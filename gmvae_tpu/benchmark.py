@@ -21,13 +21,15 @@ def run_bench(cfg=None, steps: int = 2000, scan_steps: int = 100,
               detail: bool = False, pipeline: str = 'reused'):
     """``pipeline`` selects the input-plan arm (VERDICT r4 weak #3):
 
-    - 'reused' (default, the driver contract): one chunk's batch plan is
-      generated once and re-fed every timed chunk — plan generation and
-      windowed slicing are excluded from the measurement.
-    - 'windowed': the timed loop drives ``Trainer.iter_chunk_plans`` —
-      the EXACT plan pipeline ``fit()`` and tools/reproduce_baselines.py
-      pay (super-chunk window generation with its host round-trip,
-      per-chunk device-side slices, fresh gather indices every step).
+    - 'reused' (default here; the step-isolation instrument): one chunk's
+      batch plan is generated once and re-fed every timed chunk — plan
+      generation and windowed slicing are excluded from the measurement.
+    - 'windowed' (what bench.py reports — the r5 driver contract): the
+      timed loop drives ``Trainer.iter_chunk_plans`` — the EXACT plan
+      pipeline ``fit()`` and tools/reproduce_baselines.py pay (async
+      jitted super-chunk window generation, per-chunk device-side slices,
+      fresh gather indices every step). Measured representative of real
+      runs within 0.7% (PERF.md "Bench-vs-fit reconciliation").
       The reused-vs-windowed delta is the measured plan-pipeline cost.
     """
     import jax

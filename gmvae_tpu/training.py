@@ -632,9 +632,10 @@ class Trainer:
         eager form this replaces (generate on device -> sync np.asarray
         fetch -> put_global) measured a 44% steady-state gap between the
         reused-plan bench and the real fit() pipeline at 20k-step scale;
-        after the device-side reshard fix the residual per-window eager
-        dispatch still cost ~6-8%% (PERF.md "Bench-vs-fit
-        reconciliation", round 5).
+        with this program the fresh-process 20k reproduction runs within
+        2.7% of the windowed driver bench and 4.3% of the plan-free
+        step-isolation arm (PERF.md "Bench-vs-fit reconciliation",
+        round 5).
         """
         fn = self._plan_programs.get(n_steps)
         if fn is not None:

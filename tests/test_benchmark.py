@@ -159,6 +159,24 @@ def test_median_capture_single_repeat_keeps_historical_schema():
     assert out == r  # no repeats/spread keys on the one-shot shape
 
 
+def test_driver_bench_contract_defaults_and_overrides():
+    """The driver metric (r5 contract) is the windowed pipeline at the
+    flagship's real 20k-step horizon; env overrides restore the r4
+    step-isolation arm (PERF.md "Bench-vs-fit reconciliation")."""
+    bench = _load_bench_module()
+    seen = []
+
+    def fake(steps, pipeline):
+        seen.append((steps, pipeline))
+        return {'metric': 'm', 'value': 1.0, 'unit': 'u'}
+
+    bench.driver_bench(env={}, bench=fake)()
+    assert seen[-1] == (20_000, 'windowed')
+    bench.driver_bench(env={'GMVAE_BENCH_STEPS': '2000',
+                            'GMVAE_BENCH_PIPELINE': 'reused'}, bench=fake)()
+    assert seen[-1] == (2_000, 'reused')
+
+
 def test_bench_ab_tool_summary(monkeypatch, capsys):
     """bench_ab interleaves the arms, repeats to the requested counts, and
     the summary carries medians + the plan-pipeline delta."""
