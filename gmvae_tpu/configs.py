@@ -167,9 +167,16 @@ def mnist_k10(**kw) -> Config:
     # measured +7.0% same-session on v5e (1,697,640 -> 1,816,604 img/s/
     # chip) at params bit-identical to 'stacked' (PERF.md r4; the 20k
     # trained ELBO reproduced -225.94287109375 bit-for-bit under it).
+    # scan_steps=400 (r5): fresh-process interleaved A/B at the 20k-step
+    # windowed driver contract measured 400 over 100 at +3.4% (medians
+    # 2,309,050 vs 2,232,888; every clean 400-arm sample above every
+    # 100-arm sample, 400-arm spread 0.7%);
+    # chunk size is a pure dispatch-granularity knob — params bit-identical
+    # by test (test_train) and the 20k trained ELBO re-proven bit-for-bit
+    # on hardware at 400 (PERF.md "Per-op attribution ... (round 5)").
     return Config(name='mnist_k10', dataset='mnist',
                   compute_dtype='bfloat16', opt_state_dtype='bfloat16',
-                  metrics_mode='mean', scan_steps=100).replace(**kw)
+                  metrics_mode='mean', scan_steps=400).replace(**kw)
 
 
 def fmnist_deep(**kw) -> Config:
