@@ -9,9 +9,11 @@ real 20k-step horizon — the exact plan pipeline `fit()` pays, timed over
 the steps the config actually trains. The r4 metric (reused-plan arm,
 2k steps) excluded windowed plan generation entirely and measured a
 pipeline real runs never execute; the in-run 20k rate now matches this
-metric within 0.7% (PERF.md "Bench-vs-fit reconciliation"). Override with
-GMVAE_BENCH_PIPELINE=reused / GMVAE_BENCH_STEPS=N to reproduce the old
-step-isolation number.
+metric within 3% (PERF.md "Bench-vs-fit reconciliation"). Each repeat
+runs in a FRESH subprocess — the process shape every real invocation has
+(long-lived processes measure 1-2.5% low; see fresh_process_bench).
+Override with GMVAE_BENCH_PIPELINE=reused / GMVAE_BENCH_STEPS=N to
+reproduce the old step-isolation number.
 """
 
 import json
@@ -126,14 +128,74 @@ def median_capture(repeats: int, bench=None, log=None) -> dict:
 def driver_bench(env=None, bench=None):
     """The bench callable the driver metric runs: windowed pipeline (the
     real ``fit()`` plan path — PERF.md "Bench-vs-fit reconciliation") at
-    the flagship's real 20k-step horizon, env-overridable back to the
-    step-isolation arm (GMVAE_BENCH_PIPELINE=reused, GMVAE_BENCH_STEPS=N).
+    the flagship's real 20k-step horizon and its shipped scan-chunk pin
+    (run_bench drives cfg.scan_steps when unset — 400 since the r5
+    re-pin), env-overridable back to the step-isolation arm
+    (GMVAE_BENCH_PIPELINE=reused, GMVAE_BENCH_STEPS=N,
+    GMVAE_BENCH_SCAN_STEPS=N reproduces historical scan-100 captures).
     """
     env = os.environ if env is None else env
     bench = bench or run_bench
     steps = int(env.get('GMVAE_BENCH_STEPS', 20_000))
     pipeline = env.get('GMVAE_BENCH_PIPELINE', 'windowed')
-    return lambda: bench(steps=steps, pipeline=pipeline)
+    kw = {}
+    if 'GMVAE_BENCH_SCAN_STEPS' in env:
+        kw['scan_steps'] = int(env['GMVAE_BENCH_SCAN_STEPS'])
+    return lambda: bench(steps=steps, pipeline=pipeline, **kw)
+
+
+_SUBPROC_MARK = 'BENCH_JSON:'
+_SUBPROC_CODE = (
+    'import json, bench;'
+    'from gmvae_tpu.utils.compile_cache import enable_compile_cache;'
+    'enable_compile_cache();'
+    f'print({_SUBPROC_MARK!r} + json.dumps(bench.driver_bench()()))'
+)
+
+
+def fresh_process_bench(runner=None, fallback=None, log=None, env=None):
+    """One driver-bench capture in a FRESH python process.
+
+    Absolute throughput is only authoritative from a fresh process:
+    repeats inside one long-lived process measure 1–2.5% low (and the
+    bench_ab interleaved instrument measured its windowed arm 10–17% low
+    the same way) because per-repeat Trainer/jit executables accumulate —
+    PERF.md "Bench-vs-fit reconciliation", instrument caveat. The driver
+    metric therefore runs every repeat as its own process (the exact shape
+    every real invocation has), parsing one marked JSON line back. A
+    subprocess failure (tunnel flap mid-repeat, timeout) falls back to an
+    in-process capture for that repeat — a measurement 1–2.5% conservative
+    beats a forfeited BENCH artifact.
+    """
+    import subprocess
+    env = os.environ if env is None else env
+    log = log or (lambda msg: print(msg, file=sys.stderr, flush=True))
+    fallback = fallback or driver_bench(env=env)
+    timeout_s = float(env.get('GMVAE_BENCH_REPEAT_TIMEOUT_S', 1800))
+
+    def _run(cmd, **kw):
+        return subprocess.run(cmd, **kw)
+
+    runner = runner or _run
+
+    def capture():
+        try:
+            p = runner([sys.executable, '-c', _SUBPROC_CODE],
+                       env=dict(env), timeout=timeout_s,
+                       cwd=os.path.dirname(os.path.abspath(__file__)),
+                       capture_output=True, text=True)
+            for line in (p.stdout or '').splitlines():
+                if line.startswith(_SUBPROC_MARK):
+                    return json.loads(line[len(_SUBPROC_MARK):])
+            log('bench.py: fresh-process repeat produced no result '
+                f'(rc={p.returncode}); falling back to in-process: '
+                + (p.stderr or '')[-300:])
+        except Exception as e:  # TimeoutExpired, OSError
+            log(f'bench.py: fresh-process repeat failed ({e!r}); '
+                'falling back to in-process')
+        return fallback()
+
+    return capture
 
 
 if __name__ == '__main__':
@@ -147,4 +209,4 @@ if __name__ == '__main__':
     from gmvae_tpu.utils.compile_cache import enable_compile_cache
     enable_compile_cache()
     repeats = int(os.environ.get('GMVAE_BENCH_REPEATS', 5))
-    print(json.dumps(median_capture(repeats, bench=driver_bench())))
+    print(json.dumps(median_capture(repeats, bench=fresh_process_bench())))

@@ -16,10 +16,17 @@ import sys
 import time
 
 
-def run_bench(cfg=None, steps: int = 2000, scan_steps: int = 100,
+def run_bench(cfg=None, steps: int = 2000, scan_steps=None,
               warmup_chunks: int = 1, quiet: bool = True,
               detail: bool = False, pipeline: str = 'reused'):
-    """``pipeline`` selects the input-plan arm (VERDICT r4 weak #3):
+    """``scan_steps=None`` (default) drives the CONFIG's measured scan-chunk
+    pin — the binary users actually run (the r5 flagship re-pin is 400;
+    configs.py). The harness previously forced 100 here, which silently
+    decoupled the driver metric from the shipped default when the pin
+    moved. Pass an int to isolate a specific chunking (tools/autotune_scan,
+    historical scan-100 captures).
+
+    ``pipeline`` selects the input-plan arm (VERDICT r4 weak #3):
 
     - 'reused' (default here; the step-isolation instrument): one chunk's
       batch plan is generated once and re-fed every timed chunk — plan
@@ -40,6 +47,8 @@ def run_bench(cfg=None, steps: int = 2000, scan_steps: int = 100,
         raise ValueError(f"pipeline must be reused|windowed, got {pipeline!r}")
 
     cfg = cfg or configs.mnist_k10()
+    if scan_steps is None:
+        scan_steps = cfg.scan_steps
     cfg = cfg.replace(scan_steps=scan_steps, steps=steps,
                       eval_every=10**9, ckpt_every=0)
 

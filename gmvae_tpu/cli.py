@@ -324,13 +324,13 @@ def main(argv=None) -> int:
                     print(out)
         elif args.verb == 'bench':
             from gmvae_tpu.benchmark import run_bench
-            # --set scan_steps/steps must win over the harness defaults
-            # (run_bench otherwise replaces both with its own parameters)
+            # --set steps must win over the harness default (run_bench
+            # replaces cfg.steps with its own parameter); scan_steps needs
+            # no special case — cfg already carries the --set override and
+            # run_bench drives cfg.scan_steps when the arg is unset
             ov = configs.parse_overrides(args.set)
             kw = {'steps': ov.get('steps', args.steps),
                   'pipeline': args.pipeline}
-            if 'scan_steps' in ov:
-                kw['scan_steps'] = ov['scan_steps']
             print(json.dumps(run_bench(cfg, **kw)))
     finally:
         if profile_cm is not None:

@@ -134,6 +134,21 @@ def test_run_bench_windowed_host_stream():
     assert r['value'] > 0
 
 
+def test_run_bench_defaults_scan_to_config_pin():
+    """With scan_steps unset, run_bench drives the CONFIG's measured scan
+    pin instead of a harness-forced constant — otherwise the driver metric
+    silently measures a binary users never run when a pin moves (the r5
+    flagship re-pin to 400 exposed exactly this: plain `python bench.py`
+    kept timing scan-100)."""
+    cfg = configs.synthetic_tiny(batch_size=32, scan_steps=2)
+    r = benchmark.run_bench(cfg, steps=4, warmup_chunks=1, detail=True)
+    # 2 chunks x the config's scan pin of 2; the old forced-100 default
+    # would have trained 100 steps here (n_chunks=1 x scan 100)
+    assert r['detail']['steps'] == 4
+    # the pin the driver metric inherits through this default
+    assert configs.mnist_k10().scan_steps == 400
+
+
 def test_median_capture_picks_a_real_run_and_carries_spread():
     """The driver line must be an actual capture (median_low), not an
     average, and must carry repeats + observed spread (VERDICT r4 #3)."""
@@ -175,6 +190,59 @@ def test_driver_bench_contract_defaults_and_overrides():
     bench.driver_bench(env={'GMVAE_BENCH_STEPS': '2000',
                             'GMVAE_BENCH_PIPELINE': 'reused'}, bench=fake)()
     assert seen[-1] == (2_000, 'reused')
+
+
+def test_fresh_process_bench_parses_marked_line():
+    """The driver repeat runs in a fresh subprocess and parses the ONE
+    marked JSON line back (absolute rates are only authoritative from
+    fresh processes — PERF.md instrument caveat)."""
+    bench = _load_bench_module()
+    want = {'metric': 'm', 'value': 7.0, 'unit': 'u'}
+
+    class P:
+        returncode = 0
+        stdout = ('some jax noise\n' + bench._SUBPROC_MARK
+                  + json.dumps(want) + '\n')
+        stderr = ''
+
+    calls = []
+
+    def runner(cmd, **kw):
+        calls.append(cmd)
+        assert bench._SUBPROC_MARK in cmd[-1]
+        return P()
+
+    out = bench.fresh_process_bench(
+        runner=runner, fallback=lambda: {'value': -1},
+        log=lambda m: None, env={})()
+    assert out == want and len(calls) == 1
+
+
+def test_fresh_process_bench_falls_back_on_subprocess_failure():
+    """A dead/hung subprocess (tunnel flap mid-repeat) must not forfeit
+    the BENCH artifact: the repeat falls back to an in-process capture."""
+    bench = _load_bench_module()
+
+    class P:
+        returncode = 1
+        stdout = ''
+        stderr = 'boom'
+
+    logs = []
+    out = bench.fresh_process_bench(
+        runner=lambda cmd, **kw: P(),
+        fallback=lambda: {'metric': 'm', 'value': 3.0, 'unit': 'u'},
+        log=logs.append, env={})()
+    assert out['value'] == 3.0 and any('falling back' in l for l in logs)
+
+    def raising_runner(cmd, **kw):
+        raise OSError('no exec')
+
+    out = bench.fresh_process_bench(
+        runner=raising_runner,
+        fallback=lambda: {'metric': 'm', 'value': 4.0, 'unit': 'u'},
+        log=logs.append, env={})()
+    assert out['value'] == 4.0
 
 
 def test_bench_ab_tool_summary(monkeypatch, capsys):
